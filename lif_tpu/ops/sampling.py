@@ -1,0 +1,89 @@
+"""WebGL-faithful texture sampling as XLA gathers.
+
+Semantics reproduced:
+  * LinearFilter + ClampToEdgeWrapping bilinear: sample position
+    ``st = uv * res - 0.5``, texel indices clamped to [0, res-1]
+    (matches the GL spec for CLAMP_TO_EDGE linear filtering).
+  * NearestFilter: ``floor(uv * res)`` clamped.
+  * readDisp's 2-texel interior clamp before sampling
+    (reference: src/shaders/rayCastMonoLDI.glsl:59-61).
+
+Textures are stored GL-oriented (row 0 = v=0 = image bottom); uv is the GL
+texture coordinate in [0,1]^2. Logical resolution ``res=(w, h)`` may be
+smaller than the stored array (padded layers); the pad region is never
+addressed because indices clamp to the logical extent.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["bilinear_sample", "nearest_sample", "read_disp"]
+
+
+def _gather(tex, iy, ix):
+    """tex: (H, W) or (H, W, C); iy/ix: integer index arrays of equal shape."""
+    return tex[iy, ix]
+
+
+def bilinear_sample(tex, u, v, res_w, res_h):
+    """Bilinear sample with clamp-to-edge.
+
+    Args:
+      tex: (H, W) or (H, W, C) array, GL-oriented.
+      u, v: sample coordinates in [0, 1], any broadcast-compatible shape.
+      res_w, res_h: logical texture resolution (<= stored array dims).
+
+    Returns array of shape ``u.shape`` (+ channel dim if tex has one).
+    """
+    sx = u * res_w - 0.5
+    sy = v * res_h - 0.5
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    wmax = jnp.asarray(res_w).astype(jnp.int32) - 1
+    hmax = jnp.asarray(res_h).astype(jnp.int32) - 1
+    ix0 = jnp.clip(x0.astype(jnp.int32), 0, wmax)
+    ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, wmax)
+    iy0 = jnp.clip(y0.astype(jnp.int32), 0, hmax)
+    iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, hmax)
+
+    t00 = _gather(tex, iy0, ix0)
+    t01 = _gather(tex, iy0, ix1)
+    t10 = _gather(tex, iy1, ix0)
+    t11 = _gather(tex, iy1, ix1)
+
+    if tex.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+
+    top = t00 + (t01 - t00) * fx
+    bot = t10 + (t11 - t10) * fx
+    return top + (bot - top) * fy
+
+
+def nearest_sample(tex, u, v, res_w, res_h):
+    """Nearest-neighbour sample with clamp-to-edge (GL NEAREST)."""
+    wmax = jnp.asarray(res_w).astype(jnp.int32) - 1
+    hmax = jnp.asarray(res_h).astype(jnp.int32) - 1
+    ix = jnp.clip(jnp.floor(u * res_w).astype(jnp.int32), 0, wmax)
+    iy = jnp.clip(jnp.floor(v * res_h).astype(jnp.int32), 0, hmax)
+    return _gather(tex, iy, ix)
+
+
+def read_disp(disp_tex, u, v, v_min, v_max, res_w, res_h):
+    """Decode inverse depth from a disparity texture.
+
+    Clamps uv to a 2-texel interior border, bilinearly samples the first
+    channel, then maps [0,1] -> [v_max, v_min]:
+    ``texel * (vMin - vMax) + vMax``.
+    reference: rayCastMonoLDI.glsl:59-61.
+    """
+    uc = jnp.clip(u, 2.0 / res_w, 1.0 - 2.0 / res_w)
+    vc = jnp.clip(v, 2.0 / res_h, 1.0 - 2.0 / res_h)
+    texel = bilinear_sample(disp_tex, uc, vc, res_w, res_h)
+    if texel.ndim > jnp.ndim(u):  # multi-channel: disparity is channel 0
+        texel = texel[..., 0]
+    return texel * (v_min - v_max) + v_max
