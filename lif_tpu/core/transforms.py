@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # All matrices here are 3x3: force full-precision f32 matmuls (the TPU
 # default lowers f32 matmuls to bf16 passes, which costs ~3 decimal digits
@@ -30,12 +31,20 @@ __all__ = [
     "mat_from_roll",
     "mat_from_skew",
     "mat_from_focal",
+    "inv3",
     "shader_rotation",
 ]
 
 # Z-axis flip: converts between -Z-forward (scene convention, as in THREE)
 # and +Z-forward (shader convention). reference: rayCastMonoLDI.glsl:97
-FLIP_Z = jnp.diag(jnp.array([1.0, 1.0, -1.0], dtype=jnp.float32))
+#
+# Deliberately a NUMPY constant: a module-level jnp array would live on the
+# default device, and a jitted function capturing a device-resident buffer
+# as an executable constant permanently degrades the axon TPU runtime
+# (measured: every subsequent dispatch in the process goes from ~0.05 ms to
+# ~1750 ms). Numpy constants are inlined into the jaxpr as literals, which
+# compile to the fast path.
+FLIP_Z = np.diag(np.array([1.0, 1.0, -1.0], dtype=np.float32))
 
 
 def mat_from_slant(sl_x, sl_y):
@@ -116,6 +125,32 @@ def mat_from_focal(f_x, f_y):
         ],
         axis=-2,
     )
+
+
+def inv3(m):
+    """Closed-form 3x3 inverse via the adjugate.
+
+    jnp.linalg.inv lowers to an LU custom-call that costs ~1.7 s per call on
+    the axon TPU runtime (measured); the adjugate is a handful of VPU ops.
+    Mirrors the GLSL ES fallback (reference: rayCastMonoLDI.glsl:119-129).
+    """
+    m = jnp.asarray(m)
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
 
 
 def shader_rotation(rotation):

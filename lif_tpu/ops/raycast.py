@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.color import linear_to_srgb
-from ..core.transforms import mat_from_focal, mat_from_skew, mm, shader_rotation
+from ..core.transforms import inv3, mat_from_focal, mat_from_skew, mm, shader_rotation
 from .sampling import bilinear_sample, read_disp
 
 __all__ = [
@@ -45,11 +45,6 @@ __all__ = [
 
 NUM_STEPS = 40  # reference: rayCastMonoLDI.glsl:223
 MAX_LAYERS = 4  # reference: RaycastPlane.ts:218
-
-# March-loop unroll factor. Moderate unrolling lets XLA overlap the gather
-# latency of adjacent steps on TPU; full unroll explodes compile time
-# (40 copies of the body) for little extra gain.
-_LOOP_UNROLL = 4
 
 
 def _smoothstep(e0, e1, x):
@@ -84,7 +79,7 @@ def build_fskr2(f2, out_w, out_h, skew2, rot2=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_steps", "mask_mode"),
+    static_argnames=("num_steps", "mask_mode", "unroll"),
 )
 def raycast_layer(
     s2x,
@@ -105,15 +100,22 @@ def raycast_layer(
     t=1.0,
     num_steps: int = NUM_STEPS,
     mask_mode: str = "multiply",
+    unroll: bool | None = None,
 ):
     """Ray-march one source layer for every output pixel.
 
+    Batch-polymorphic: ``fskr1``/``fskr2`` may carry leading batch dims
+    (..., 3, 3) and ``c1``/``c2`` (..., 3); the march state then broadcasts
+    to (..., H, W) and each texture read remains ONE flat gather (vmap
+    would instead produce a batched-gather lowering that is ~1000x slower
+    on TPU — batch by broadcasting, never by vmap).
+
     Args:
       s2x, s2y: (H, W) target coordinates (uv - 0.5), GL-oriented.
-      fskr1: (3, 3) full source transform (focal included).
-      c1: (3,) source camera position (camera-local, Z-negated).
-      fskr2: (3, 3) full target transform.
-      c2: (3,) render camera position in the same frame (usually zeros).
+      fskr1: (..., 3, 3) full source transform (focal included).
+      c1: (..., 3) source camera position (camera-local, Z-negated).
+      fskr2: (..., 3, 3) full target transform.
+      c2: (..., 3) render camera position in the same frame (usually zeros).
       rgb: (Hs, Ws, 3) linear-light source colors.
       disp: (Hs, Ws) disparity texture in [0, 1].
       mask: (Hs, Ws) layer mask in [0, 1] (1 everywhere for maskless layers).
@@ -128,24 +130,32 @@ def raycast_layer(
         only (non-LDI, rayCastMonoLDI.glsl:277-279).
 
     Returns:
-      rgba: (H, W, 4) premultiplication NOT applied (matches the GLSL
+      rgba: (..., H, W, 4) premultiplication NOT applied (matches the GLSL
         raycasting() return; compositing premultiplies).
-      invz2: (H, W) inverse depth of the hit in target space (0 on miss).
-      confidence: (H, W) the shader's confidence out-param.
+      invz2: (..., H, W) inverse depth of the hit in target space (0 on miss).
+      confidence: (..., H, W) the shader's confidence out-param.
     """
     dtype = jnp.float32
     s2x = s2x.astype(dtype)
     s2y = s2y.astype(dtype)
 
-    p = mm(fskr1, jnp.linalg.inv(fskr2))
-    c = jnp.matmul(fskr1, c2 - c1, precision=jax.lax.Precision.HIGHEST)
+    p = mm(fskr1, inv3(fskr2))
+    fskr1_b = jnp.broadcast_to(fskr1, p.shape)
+    c = jnp.matmul(
+        fskr1_b, (c2 - c1)[..., None], precision=jax.lax.Precision.HIGHEST
+    )[..., 0]
+
+    def bc(x):
+        # (...,) scalar field -> (..., 1, 1) broadcastable against (H, W)
+        return jnp.asarray(x, dtype)[..., None, None]
 
     # Block decomposition. reference: rayCastMonoLDI.glsl:244-247.
-    p00, p01, p02 = p[0, 0], p[0, 1], p[0, 2]
-    p10, p11, p12 = p[1, 0], p[1, 1], p[1, 2]
-    p20, p21, p22 = p[2, 0], p[2, 1], p[2, 2]
+    p00, p01, p02 = bc(p[..., 0, 0]), bc(p[..., 0, 1]), bc(p[..., 0, 2])
+    p10, p11, p12 = bc(p[..., 1, 0]), bc(p[..., 1, 1]), bc(p[..., 1, 2])
+    p20, p21, p22 = bc(p[..., 2, 0]), bc(p[..., 2, 1]), bc(p[..., 2, 2])
+    c_x, c_y, c_z = bc(c[..., 0]), bc(c[..., 1]), bc(c[..., 2])
 
-    denom = p20 * s2x + p21 * s2y + p22  # Pzxy.s2 + Pzz
+    denom = p20 * s2x + p21 * s2y + p22  # Pzxy.s2 + Pzz -> (..., H, W)
     qx = (p00 * s2x + p01 * s2y + p02) / denom
     qy = (p10 * s2x + p11 * s2y + p12) / denom
 
@@ -153,21 +163,21 @@ def raycast_layer(
     invz0 = invz_min
     dinvz0 = (invz_min - invz_max) / numsteps
     invz_min_t = invz0 * (1.0 - t)
-    invz = jnp.full_like(s2x, invz0 + dinvz0)  # step back once before start
-    dinvz = jnp.full_like(s2x, dinvz0)
+    invz = jnp.full_like(denom, invz0 + dinvz0)  # step back once before start
+    dinvz = jnp.full_like(denom, dinvz0)
 
     grad_thr = 0.02 * (invz_min - invz_max) * 140.0 / numsteps
 
-    s1x = c[0] * invz + (1.0 - c[2] * invz) * qx
-    s1y = c[1] * invz + (1.0 - c[2] * invz) * qy
-    ds1x = (c[0] - c[2] * qx) * dinvz
-    ds1y = (c[1] - c[2] * qy) * dinvz
+    s1x = c_x * invz + (1.0 - c_z * invz) * qx
+    s1y = c_y * invz + (1.0 - c_z * invz) * qy
+    ds1x = (c_x - c_z * qx) * dinvz
+    ds1y = (c_y - c_z * qy) * dinvz
 
-    confidence = jnp.ones_like(s2x)
-    invz2 = jnp.zeros_like(s2x)
-    old_disp = jnp.zeros_like(s2x)
+    confidence = jnp.ones_like(denom)
+    invz2 = jnp.zeros_like(denom)
+    old_disp = jnp.zeros_like(denom)
 
-    def body(_, carry):
+    def body(carry):
         invz, s1x, s1y, dinvz, ds1x, ds1y, old_disp, invz2, confidence = carry
         invz = invz - dinvz
         s1x = s1x - ds1x
@@ -176,7 +186,7 @@ def raycast_layer(
         disp_v = read_disp(disp, s1x + 0.5, s1y + 0.5, invz_min, invz_max, res_w, res_h)
         grad_disp = disp_v - old_disp
         old_disp = disp_v
-        invz2 = invz * denom / (1.0 - c[2] * invz)
+        invz2 = invz * denom / (1.0 - c_z * invz)
 
         below = (disp_v > invz) & (invz2 > 0.0)
         confidence = jnp.where(
@@ -190,15 +200,23 @@ def raycast_layer(
         ds1y = jnp.where(below, ds1y * 0.5, ds1y)
         return (invz, s1x, s1y, dinvz, ds1x, ds1y, old_disp, invz2, confidence)
 
-    (invz, s1x, s1y, dinvz, ds1x, ds1y, old_disp, invz2, confidence) = (
-        jax.lax.fori_loop(
-            0,
-            num_steps,
-            body,
-            (invz, s1x, s1y, dinvz, ds1x, ds1y, old_disp, invz2, confidence),
-            unroll=_LOOP_UNROLL,
-        )
-    )
+    # March-loop strategy (identical math either way):
+    #  * TPU: fully unrolled python loop. An XLA while loop costs ~29 ms PER
+    #    ITERATION on the axon TPU runtime (host-driven dispatch; measured
+    #    1179 ms rolled vs 0.14 ms unrolled for identical work). Unrolling
+    #    is also what a GPU driver does with the GLSL loop.
+    #  * CPU: lax.fori_loop. The CPU backend compiles the 40-step unrolled
+    #    gather graph pathologically slowly (>100 s) but runs the rolled
+    #    loop fine — and CPU is only used for tests.
+    carry = (invz, s1x, s1y, dinvz, ds1x, ds1y, old_disp, invz2, confidence)
+    if unroll is None:
+        unroll = jax.default_backend() != "cpu"
+    if unroll:
+        for _ in range(num_steps):
+            carry = body(carry)
+    else:
+        carry = jax.lax.fori_loop(0, num_steps, lambda _, c: body(c), carry)
+    (invz, s1x, s1y, dinvz, ds1x, ds1y, old_disp, invz2, confidence) = carry
 
     # Hit validity. Mono uses invZ2 > 0, stereo uses >= 0
     # (rayCastMonoLDI.glsl:275 vs rayCastStereoLDI.glsl:298).
@@ -226,7 +244,7 @@ def raycast_layer(
         # isMaskAround: 3x3 neighbourhood at 1.5-texel dilation, any sample
         # below 0.5 discards the hit. reference: rayCastStereoLDI.glsl:147-158.
         dilation = 1.5
-        masked = jnp.zeros_like(s2x, dtype=bool)
+        masked = jnp.zeros_like(u1, dtype=bool)
         for dy in (-1.0, 0.0, 1.0):
             for dx in (-1.0, 0.0, 1.0):
                 mv = bilinear_sample(
@@ -303,7 +321,9 @@ def blend_background(rgb, alpha, background):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_w", "out_h", "num_layers", "num_steps", "mask_mode", "to_srgb"),
+    static_argnames=(
+        "out_w", "out_h", "num_layers", "num_steps", "mask_mode", "to_srgb", "unroll"
+    ),
 )
 def render_mono(
     rgb,
@@ -327,6 +347,7 @@ def render_mono(
     num_steps: int = NUM_STEPS,
     mask_mode: str = "multiply",
     to_srgb: bool = True,
+    unroll: bool | None = None,
 ):
     """Render a novel view of one (possibly multi-layer) projector.
 
@@ -363,37 +384,40 @@ def render_mono(
     c2 = jnp.zeros(3, dtype=jnp.float32)
     background = jnp.asarray(background, dtype=jnp.float32)
 
-    def layer_fn(rgb_l, disp_l, mask_l, res_l, izmin_l, izmax_l, f1_l):
-        fskr1 = mm(mat_from_focal(f1_l / res_l[0], f1_l / res_l[1]), skr1)
-        return raycast_layer(
+    # Unrolled python loop over the (static, <= 4) layers: batching the
+    # texture gathers with vmap forces XLA into a slow batched-gather
+    # lowering on TPU; unbatched gathers hit the fast hardware path. The
+    # sequential structure also mirrors the shader's layer chain
+    # (rayCastMonoLDI.glsl:338-358).
+    layer_res_f = layer_res.astype(jnp.float32)
+    layers_rgba = []
+    for i in range(num_layers):
+        fskr1 = mm(
+            mat_from_focal(focal[i] / layer_res_f[i, 0], focal[i] / layer_res_f[i, 1]),
+            skr1,
+        )
+        rgba_i, _, _ = raycast_layer(
             s2x,
             s2y,
             fskr1,
             c1.astype(jnp.float32),
             fskr2,
             c2,
-            rgb_l,
-            disp_l,
-            mask_l,
-            izmin_l,
-            izmax_l,
-            res_l[0],
-            res_l[1],
+            rgb[i],
+            disp[i],
+            mask[i],
+            invz_min[i],
+            invz_max[i],
+            layer_res_f[i, 0],
+            layer_res_f[i, 1],
             background[:3],
             feathering,
             num_steps=num_steps,
             mask_mode=mask_mode,
+            unroll=unroll,
         )
-
-    layers_rgba, _, _ = jax.vmap(layer_fn)(
-        rgb[:num_layers],
-        disp[:num_layers],
-        mask[:num_layers],
-        layer_res[:num_layers].astype(jnp.float32),
-        invz_min[:num_layers],
-        invz_max[:num_layers],
-        focal[:num_layers],
-    )
+        layers_rgba.append(rgba_i)
+    layers_rgba = jnp.stack(layers_rgba, axis=0)
 
     out_rgb, out_a = compose_layers(layers_rgba, num_layers)
     out_rgb, out_a = blend_background(out_rgb, out_a, background)

@@ -16,14 +16,50 @@ addressed because indices clamp to the logical extent.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["bilinear_sample", "nearest_sample", "read_disp"]
 
 
+def _opaque(*idx):
+    """Identity hook for gather indices (kept as a single choke point).
+
+    NOTE: an earlier revision inserted jax.lax.optimization_barrier here; on
+    the axon TPU runtime a barrier acts like a dispatch boundary costing
+    tens of ms per occurrence, which is catastrophic inside the unrolled
+    march. Plain indices lower to fast gathers.
+    """
+    return idx
+
+
 def _gather(tex, iy, ix):
-    """tex: (H, W) or (H, W, C); iy/ix: integer index arrays of equal shape."""
-    return tex[iy, ix]
+    """tex: (H, W) or (H, W, C); iy/ix: integer index arrays of equal shape.
+
+    Implemented as a FLAT 1-D take (iy*W + ix into a reshaped texture):
+    2-D advanced indexing lowers to a multi-index-vector gather that hits a
+    slow path on TPU, especially under vmap (measured ~2 s/frame vs sub-ms);
+    a flat take stays a single plain gather no matter how callers batch the
+    index arithmetic.
+    """
+    h, w = tex.shape[0], tex.shape[1]
+    # Flatten BOTH the texture and the index array to 1-D: the TPU gather
+    # lowering is shape-sensitive (measured per 1M-element take: 1-D indices
+    # ~0.01 ms, 3-D ~1.6 ms, some 2-D shapes ~33 ms). Flat take + reshape is
+    # the reliably fast form.
+    out_shape = iy.shape
+    flat_idx = (iy * w + ix).reshape(-1)
+    if tex.ndim == 2:
+        return jnp.take(tex.reshape(h * w), flat_idx).reshape(out_shape)
+    # (H, W, C): one flat take per channel (channel count is tiny/static).
+    flat = tex.reshape(h * w, tex.shape[2])
+    return jnp.stack(
+        [
+            jnp.take(flat[:, c], flat_idx).reshape(out_shape)
+            for c in range(tex.shape[2])
+        ],
+        axis=-1,
+    )
 
 
 def bilinear_sample(tex, u, v, res_w, res_h):
@@ -49,6 +85,7 @@ def bilinear_sample(tex, u, v, res_w, res_h):
     ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, wmax)
     iy0 = jnp.clip(y0.astype(jnp.int32), 0, hmax)
     iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, hmax)
+    ix0, ix1, iy0, iy1 = _opaque(ix0, ix1, iy0, iy1)
 
     t00 = _gather(tex, iy0, ix0)
     t01 = _gather(tex, iy0, ix1)
@@ -70,6 +107,7 @@ def nearest_sample(tex, u, v, res_w, res_h):
     hmax = jnp.asarray(res_h).astype(jnp.int32) - 1
     ix = jnp.clip(jnp.floor(u * res_w).astype(jnp.int32), 0, wmax)
     iy = jnp.clip(jnp.floor(v * res_h).astype(jnp.int32), 0, hmax)
+    ix, iy = _opaque(ix, iy)
     return _gather(tex, iy, ix)
 
 
