@@ -3,10 +3,17 @@ framework.
 
 Re-creation of the capabilities of the LIF-renderer reference library
 (THREE.js/WebGL) as pure jit-compiled functions of
-(scene arrays, camera) -> image, vmapped over layers/views/frames and
-sharded over TPU meshes.
+(scene arrays, camera) -> image, batched by broadcasting and sharded over
+TPU meshes.
 
-Public surface mirrors the reference's exports (reference: src/index.ts:4-19).
+Public surface mirrors the reference's exports (reference: src/index.ts:4-19):
+  HoloProjector            -> Projector / projector_from_arrays
+  HoloRenderer             -> render / render_mono_view / render_stereo_view
+  HoloLayerGroup           -> models.scene.LayerGroup
+  RaycastPlane             -> (subsumed by the pure render functions)
+  LifLoader, loadLifFile   -> LifLoader, load_lif_file
+  lifRotationToQuaternion  -> lif_rotation_to_quaternion / _matrix
+  createHoloProjectorFromLifView -> projector_from_lif_view
 """
 
 __version__ = "0.1.0"
@@ -16,4 +23,20 @@ from .core.pose import (  # noqa: F401
     lif_rotation_to_matrix,
     lif_rotation_to_quaternion,
     orbit_pose,
+)
+from .models.api import (  # noqa: F401
+    LifLoader,
+    LoadLifFileResult,
+    load_lif_file,
+)
+from .models.projector import (  # noqa: F401
+    Projector,
+    projector_from_arrays,
+    projector_from_lif_view,
+)
+from .models.renderer import (  # noqa: F401
+    RenderMode,
+    render,
+    render_mono_view,
+    render_stereo_view,
 )

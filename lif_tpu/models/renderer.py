@@ -1,0 +1,164 @@
+"""Renderer: render-mode dispatch from (projectors, camera) to images.
+
+The TPU-native replacement for the reference's orchestration layer
+(reference: src/HoloRenderer.ts:139-332 mode dispatch + uniform marshaling,
+src/RaycastPlane.ts:455-731 uniform derivation): instead of scene-graph
+hooks and camera-child planes, a pure function computes the camera-local
+relative pose and calls the jitted kernels directly.
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.pose import relative_view_pose
+from ..ops import raycast as _raycast
+from ..ops import stereo as _stereo
+from .projector import Projector
+
+__all__ = ["RenderMode", "render", "render_mono_view", "render_stereo_view"]
+
+RenderMode = Literal["raycast", "stereo", "mesh"]
+
+
+def _relative(projector: Projector, camera: Camera):
+    """Projector pose in the camera frame (Z-negated position), and the
+    baseline-normalized inverse-depth ranges the kernels expect.
+    reference: RaycastPlane.ts:597-676 (pose), :476-478 (invZ/baseline)."""
+    pos, rot = relative_view_pose(
+        np.asarray(projector.position, np.float64),
+        np.asarray(projector.rotation, np.float64),
+        np.asarray(camera.position, np.float64),
+        np.asarray(camera.rotation, np.float64),
+    )
+    baseline = jnp.asarray(projector.baseline, jnp.float32)
+    return (
+        jnp.asarray(pos, jnp.float32),
+        jnp.asarray(rot, jnp.float32),
+        jnp.asarray(projector.invz_min, jnp.float32) / baseline,
+        jnp.asarray(projector.invz_max, jnp.float32) / baseline,
+    )
+
+
+def render_mono_view(
+    projector: Projector,
+    camera: Camera,
+    background=(0.0, 0.0, 0.0, 0.0),
+    feathering: float = 0.1,
+    to_srgb: bool = True,
+    num_steps: int = _raycast.NUM_STEPS,
+    mask_mode: str | None = None,
+):
+    """Render one projector into the camera: the raycast ('raytracing')
+    mode. Returns (H, W, 4) GL-oriented.
+
+    mask_mode defaults to the reference behaviour: LDI projectors multiply
+    the bilinear mask into alpha; single-layer maskless projectors use the
+    taper only (uNumLayers == 0 path, rayCastMonoLDI.glsl:277-279).
+    """
+    c1, rot1, izmin, izmax = _relative(projector, camera)
+    if mask_mode is None:
+        mask_mode = "multiply" if projector.num_layers > 1 else "none"
+    return _raycast.render_mono(
+        jnp.asarray(projector.rgb),
+        jnp.asarray(projector.disp),
+        jnp.asarray(projector.mask),
+        jnp.asarray(projector.layer_res),
+        izmin,
+        izmax,
+        jnp.asarray(projector.focal),
+        jnp.asarray(projector.skew),
+        c1,
+        rot1,
+        jnp.asarray(camera.focal_px, jnp.float32),
+        jnp.asarray(camera.skew, jnp.float32),
+        jnp.asarray(background, jnp.float32),
+        out_w=camera.width,
+        out_h=camera.height,
+        num_layers=projector.num_layers,
+        feathering=feathering,
+        num_steps=num_steps,
+        mask_mode=mask_mode,
+        to_srgb=to_srgb,
+    )
+
+
+def render_stereo_view(
+    left: Projector,
+    right: Projector,
+    camera: Camera,
+    background=(0.0, 0.0, 0.0, 0.0),
+    feathering: float = 0.1,
+    to_srgb: bool = True,
+    num_steps: int = _raycast.NUM_STEPS,
+):
+    """Render blending two projectors (the stereo mode).
+    reference: RaycastPlane.ts:812-843 + rayCastStereoLDI.glsl."""
+    c1_l, rot1_l, izmin_l, izmax_l = _relative(left, camera)
+    c1_r, rot1_r, izmin_r, izmax_r = _relative(right, camera)
+    num_layers = min(left.num_layers, right.num_layers)
+    return _stereo.render_stereo(
+        jnp.asarray(left.rgb),
+        jnp.asarray(left.disp),
+        jnp.asarray(left.mask),
+        jnp.asarray(left.layer_res),
+        izmin_l,
+        izmax_l,
+        jnp.asarray(left.focal),
+        jnp.asarray(left.skew),
+        c1_l,
+        rot1_l,
+        jnp.asarray(right.rgb),
+        jnp.asarray(right.disp),
+        jnp.asarray(right.mask),
+        jnp.asarray(right.layer_res),
+        izmin_r,
+        izmax_r,
+        jnp.asarray(right.focal),
+        jnp.asarray(right.skew),
+        c1_r,
+        rot1_r,
+        jnp.asarray(camera.focal_px, jnp.float32),
+        jnp.asarray(camera.skew, jnp.float32),
+        jnp.asarray(background, jnp.float32),
+        out_w=camera.width,
+        out_h=camera.height,
+        num_layers=num_layers,
+        feathering=feathering,
+        num_steps=num_steps,
+        to_srgb=to_srgb,
+    )
+
+
+def render(
+    projectors: Projector | Sequence[Projector],
+    camera: Camera,
+    mode: RenderMode = "raycast",
+    **kwargs,
+):
+    """Render-mode dispatch (the HoloRenderer.onBeforeRender analog,
+    reference HoloRenderer.ts:139-204):
+
+      * 'raycast': per-pixel inverse-depth march of the first projector
+        (the reference's raytracing mode renders projector 0;
+        HoloRenderer.ts:186-189 renders only the first in mesh mode too).
+      * 'stereo': two projectors blended in one pass.
+      * 'mesh': forward-splat of the projector's pixel grid
+        (ops.splat; the reference's default mesh mode).
+    """
+    plist = list(projectors) if isinstance(projectors, (list, tuple)) else [projectors]
+    if mode == "raycast":
+        return render_mono_view(plist[0], camera, **kwargs)
+    if mode == "stereo":
+        if len(plist) < 2:
+            raise ValueError("stereo mode needs two projectors")
+        return render_stereo_view(plist[0], plist[1], camera, **kwargs)
+    if mode == "mesh":
+        from ..ops import splat as _splat
+
+        return _splat.render_mesh_view(plist[0], camera, **kwargs)
+    raise ValueError(f"unknown render mode: {mode}")
