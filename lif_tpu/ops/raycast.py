@@ -277,10 +277,18 @@ def raycast_layer(
     return rgba, out_invz2, out_confidence
 
 
-def _pixel_grid(out_w, out_h, dtype=jnp.float32):
-    """GL-oriented pixel-center uv grid minus 0.5 (the s2 coordinates)."""
-    u = (jnp.arange(out_w, dtype=dtype) + 0.5) / out_w
-    v = (jnp.arange(out_h, dtype=dtype) + 0.5) / out_h
+def _pixel_grid(out_w, out_h, dtype=jnp.float32, full_w=None, full_h=None,
+                row_start=0, col_start=0):
+    """GL-oriented pixel-center uv grid minus 0.5 (the s2 coordinates).
+
+    With ``full_w``/``full_h`` set, produces the (out_h, out_w) tile of the
+    larger (full_h, full_w) grid starting at (row_start, col_start) — the
+    basis for sharding the output image across devices (each device renders
+    its tile of the same virtual framebuffer)."""
+    fw = out_w if full_w is None else full_w
+    fh = out_h if full_h is None else full_h
+    u = (jnp.arange(out_w, dtype=dtype) + 0.5 + col_start) / fw
+    v = (jnp.arange(out_h, dtype=dtype) + 0.5 + row_start) / fh
     s2x = jnp.broadcast_to(u[None, :], (out_h, out_w)) - 0.5
     s2y = jnp.broadcast_to(v[:, None], (out_h, out_w)) - 0.5
     return s2x, s2y
@@ -322,7 +330,8 @@ def blend_background(rgb, alpha, background):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "out_w", "out_h", "num_layers", "num_steps", "mask_mode", "to_srgb", "unroll"
+        "out_w", "out_h", "num_layers", "num_steps", "mask_mode", "to_srgb",
+        "unroll", "full_w", "full_h",
     ),
 )
 def render_mono(
@@ -348,8 +357,16 @@ def render_mono(
     mask_mode: str = "multiply",
     to_srgb: bool = True,
     unroll: bool | None = None,
+    full_w: int | None = None,
+    full_h: int | None = None,
+    row_start=0,
+    col_start=0,
 ):
     """Render a novel view of one (possibly multi-layer) projector.
+
+    ``full_w``/``full_h``/``row_start``/``col_start`` render an
+    (out_h, out_w) TILE of a larger virtual framebuffer — the unit of
+    image-space sharding (see lif_tpu.parallel).
 
     Pure function mirroring rayCastMonoLDI's main() (reference
     rayCastMonoLDI.glsl:299-381): per-layer ray march, front-to-back LDI
@@ -378,9 +395,16 @@ def render_mono(
 
     Returns (H, W, 4) GL-oriented image (row 0 = bottom).
     """
-    s2x, s2y = _pixel_grid(out_w, out_h)
+    s2x, s2y = _pixel_grid(
+        out_w, out_h, full_w=full_w, full_h=full_h,
+        row_start=row_start, col_start=col_start,
+    )
     skr1 = build_skr1(skew1, rot1)
-    fskr2 = build_fskr2(f2, float(out_w), float(out_h), skew2)
+    # focal normalization always uses the FULL framebuffer dims (f2/oRes);
+    # out_w/out_h may be just a tile of it
+    fb_w = float(out_w if full_w is None else full_w)
+    fb_h = float(out_h if full_h is None else full_h)
+    fskr2 = build_fskr2(f2, fb_w, fb_h, skew2)
     c2 = jnp.zeros(3, dtype=jnp.float32)
     background = jnp.asarray(background, dtype=jnp.float32)
 
@@ -429,7 +453,7 @@ def render_mono(
 
     if ires_original is not None:
         # Aspect-fit window. reference: rayCastMonoLDI.glsl:308-311.
-        o_res = jnp.array([out_w, out_h], dtype=jnp.float32)
+        o_res = jnp.array([fb_w, fb_h], dtype=jnp.float32)
         s = jnp.minimum(o_res[0], o_res[1]) / jnp.minimum(
             ires_original[0], ires_original[1]
         )

@@ -1,0 +1,304 @@
+"""Multi-chip rendering: image-tile, frame, and projector parallelism.
+
+The reference is single-browser/single-GPU (SURVEY.md section 2.5); this is
+the TPU-native scaling design it lacks:
+
+  * TILE parallelism (the TP/SP analog): the output framebuffer is sharded
+    over a mesh axis; every device renders its row-band of the same virtual
+    image (pure map — each ray march reads only the replicated source
+    textures, so no collectives are needed until assembly).
+  * FRAME parallelism (the DP analog): a trajectory's cameras are sharded
+    over a mesh axis; each device renders different frames.
+  * PROJECTOR (view) parallelism (the EP analog): each device renders a
+    different projector; the fused image is a nearest-depth merge across
+    the view axis using `pmax`/`psum` collectives over ICI.
+
+All entry points take an explicit `jax.sharding.Mesh`; tests exercise them
+on a virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 exports shard_map at the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..core.pose import relative_view_pose
+from ..ops import raycast as _raycast
+
+__all__ = [
+    "make_mesh",
+    "render_view_tiled",
+    "render_trajectory_sharded",
+    "render_fused_projectors",
+]
+
+
+def make_mesh(axis_names=("tile",), shape=None, devices=None) -> Mesh:
+    """A Mesh over the available devices (1-D by default)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) if len(axis_names) == 1 else None
+    if shape is None:
+        raise ValueError("shape required for multi-axis meshes")
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def _projector_kernel_args(projector, camera):
+    """(array args..., static kwargs) for ops.raycast.render_mono."""
+    pos, rot = relative_view_pose(
+        np.asarray(projector.position, np.float64),
+        np.asarray(projector.rotation, np.float64),
+        np.asarray(camera.position, np.float64),
+        np.asarray(camera.rotation, np.float64),
+    )
+    baseline = jnp.asarray(projector.baseline, jnp.float32)
+    arrays = (
+        jnp.asarray(projector.rgb),
+        jnp.asarray(projector.disp),
+        jnp.asarray(projector.mask),
+        jnp.asarray(projector.layer_res),
+        jnp.asarray(projector.invz_min, jnp.float32) / baseline,
+        jnp.asarray(projector.invz_max, jnp.float32) / baseline,
+        jnp.asarray(projector.focal),
+        jnp.asarray(projector.skew),
+        jnp.asarray(pos, jnp.float32),
+        jnp.asarray(rot, jnp.float32),
+        jnp.asarray(camera.focal_px, jnp.float32),
+        jnp.asarray(camera.skew, jnp.float32),
+    )
+    return arrays
+
+
+def render_view_tiled(
+    projector,
+    camera,
+    mesh: Mesh,
+    axis_name: str = "tile",
+    background=(0.0, 0.0, 0.0, 0.0),
+    mask_mode: str | None = None,
+    **kwargs,
+):
+    """Render one view with the output image row-sharded over `axis_name`.
+
+    Source textures are replicated; device i renders rows
+    [i*H/n, (i+1)*H/n). Returns the assembled (H, W, 4) image (sharded
+    array; XLA inserts the gather on host fetch)."""
+    n = mesh.shape[axis_name]
+    if camera.height % n:
+        raise ValueError(f"height {camera.height} not divisible by {n} tiles")
+    tile_h = camera.height // n
+    if mask_mode is None:
+        mask_mode = "multiply" if projector.num_layers > 1 else "none"
+
+    arrays = _projector_kernel_args(projector, camera)
+    bg = jnp.asarray(background, jnp.float32)
+
+    def tile_fn(*args):
+        i = jax.lax.axis_index(axis_name)
+        return _raycast.render_mono(
+            *args[:-1],
+            args[-1],
+            out_w=camera.width,
+            out_h=tile_h,
+            num_layers=projector.num_layers,
+            full_h=camera.height,
+            row_start=i * tile_h,
+            mask_mode=mask_mode,
+            **kwargs,
+        )
+
+    fn = shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=tuple(P() for _ in range(len(arrays) + 1)),
+        out_specs=P(axis_name, None, None),
+        check_vma=False,
+    )
+    return fn(*arrays, bg)
+
+
+def render_trajectory_sharded(
+    projector,
+    cameras_positions,
+    cameras_rotations,
+    camera_template,
+    mesh: Mesh,
+    axis_name: str = "frame",
+    background=(0.0, 0.0, 0.0, 0.0),
+    mask_mode: str | None = None,
+    **kwargs,
+):
+    """Render a batch of frames, sharded over `axis_name` (data parallel).
+
+    `cameras_positions` (F, 3) / `cameras_rotations` (F, 3, 3) are world
+    camera poses; F must be divisible by the axis size. Frames are rendered
+    with the batch-polymorphic kernel (leading batch dim broadcast, not
+    vmap). Returns (F, H, W, 4) sharded on frames."""
+    n = mesh.shape[axis_name]
+    f = len(cameras_positions)
+    if f % n:
+        raise ValueError(f"{f} frames not divisible by {n} devices")
+    if mask_mode is None:
+        mask_mode = "multiply" if projector.num_layers > 1 else "none"
+
+    # camera-local projector pose per frame (host-side, tiny)
+    pos = np.zeros((f, 3), np.float32)
+    rot = np.zeros((f, 3, 3), np.float32)
+    for i in range(f):
+        p_i, r_i = relative_view_pose(
+            np.asarray(projector.position, np.float64),
+            np.asarray(projector.rotation, np.float64),
+            np.asarray(cameras_positions[i], np.float64),
+            np.asarray(cameras_rotations[i], np.float64),
+        )
+        pos[i] = p_i
+        rot[i] = r_i
+
+    baseline = jnp.asarray(projector.baseline, jnp.float32)
+    shared = (
+        jnp.asarray(projector.rgb),
+        jnp.asarray(projector.disp),
+        jnp.asarray(projector.mask),
+        jnp.asarray(projector.layer_res),
+        jnp.asarray(projector.invz_min, jnp.float32) / baseline,
+        jnp.asarray(projector.invz_max, jnp.float32) / baseline,
+        jnp.asarray(projector.focal),
+        jnp.asarray(projector.skew),
+    )
+    cam = camera_template
+
+    def frames_fn(pos_shard, rot_shard, *args):
+        return _raycast.render_mono(
+            *args[:8],
+            pos_shard,  # (F/n, 3) -> batch dims broadcast in the kernel
+            rot_shard,
+            jnp.asarray(cam.focal_px, jnp.float32),
+            jnp.asarray(cam.skew, jnp.float32),
+            jnp.asarray(background, jnp.float32),
+            out_w=cam.width,
+            out_h=cam.height,
+            num_layers=projector.num_layers,
+            mask_mode=mask_mode,
+            **kwargs,
+        )
+
+    fn = shard_map(
+        frames_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)) + tuple(P() for _ in shared),
+        out_specs=P(axis_name, None, None, None),
+        check_vma=False,
+    )
+    return fn(jnp.asarray(pos), jnp.asarray(rot), *shared)
+
+
+def render_fused_projectors(
+    projectors,
+    camera,
+    mesh: Mesh,
+    axis_name: str = "view",
+    background=(0.0, 0.0, 0.0, 0.0),
+    **kwargs,
+):
+    """Fuse multiple projectors into one view, projector-sharded.
+
+    Each device raycasts ITS projector (single-layer; stacked along the
+    sharded leading axis), then the fused image is assembled with
+    collectives over ICI: nearest surface wins via `pmax` on the hit
+    inverse depth, colors merged with a masked `psum`. This is the
+    multi-projector fusion the reference lacks (it renders only the first
+    projector; HoloRenderer.ts:186-189)."""
+    n = mesh.shape[axis_name]
+    if len(projectors) != n:
+        raise ValueError(f"need exactly {n} projectors for a {n}-way mesh")
+
+    p0 = projectors[0]
+    rgbs, disps, masks, poss, rots = [], [], [], [], []
+    izmins, izmaxs, focals, skews = [], [], [], []
+    for p in projectors:
+        if (p.height, p.width) != (p0.height, p0.width):
+            raise ValueError("fused projectors must share dimensions")
+        pos, rot = relative_view_pose(
+            np.asarray(p.position, np.float64),
+            np.asarray(p.rotation, np.float64),
+            np.asarray(camera.position, np.float64),
+            np.asarray(camera.rotation, np.float64),
+        )
+        rgbs.append(np.asarray(p.rgb[0]))
+        disps.append(np.asarray(p.disp[0]))
+        masks.append(np.asarray(p.mask[0]))
+        poss.append(pos)
+        rots.append(rot)
+        izmins.append(float(p.invz_min[0]) / float(p.baseline))
+        izmaxs.append(float(p.invz_max[0]) / float(p.baseline))
+        focals.append(float(p.focal[0]))
+        skews.append(np.asarray(p.skew))
+
+    stack = lambda xs, dt=jnp.float32: jnp.asarray(np.stack(xs), dt)
+    bg = jnp.asarray(background, jnp.float32)
+
+    def view_fn(rgb, disp, mask, pos, rot, izmin, izmax, focal, skew):
+        # shard_map gives each device a leading dim of 1; drop it
+        rgb, disp, mask = rgb[0], disp[0], mask[0]
+        pos, rot, skew = pos[0], rot[0], skew[0]
+        izmin, izmax, focal = izmin[0], izmax[0], focal[0]
+
+        s2x, s2y = _raycast._pixel_grid(camera.width, camera.height)
+        skr1 = _raycast.build_skr1(skew, rot)
+        from ..core.transforms import mat_from_focal, mm
+
+        h, w = disp.shape
+        fskr1 = mm(mat_from_focal(focal / w, focal / h), skr1)
+        fskr2 = _raycast.build_fskr2(
+            jnp.asarray(camera.focal_px, jnp.float32),
+            float(camera.width),
+            float(camera.height),
+            jnp.asarray(camera.skew, jnp.float32),
+        )
+        rgba, invz2, _ = _raycast.raycast_layer(
+            s2x, s2y, fskr1, pos, fskr2, jnp.zeros(3, jnp.float32),
+            rgb, disp, mask, izmin, izmax, float(w), float(h),
+            bg[:3], 0.1, mask_mode="none", **kwargs,
+        )
+        hit = rgba[..., 3] > 0.0
+        key = jnp.where(hit, invz2, -jnp.inf)
+        best = jax.lax.pmax(key, axis_name)
+        winner = hit & (key >= best)
+        # average ties (identical depths) to stay deterministic
+        count = jax.lax.psum(winner.astype(jnp.float32), axis_name)
+        color = jax.lax.psum(
+            jnp.where(winner[..., None], rgba[..., :3] * rgba[..., 3:4], 0.0),
+            axis_name,
+        )
+        alpha = jax.lax.psum(jnp.where(winner, rgba[..., 3], 0.0), axis_name)
+        denom = jnp.maximum(count, 1.0)
+        color = color / denom[..., None]
+        alpha = alpha / denom
+        out_rgb = bg[:3] * bg[3] * (1.0 - alpha[..., None]) + color
+        out_a = bg[3] + alpha * (1.0 - bg[3])
+        from ..core.color import linear_to_srgb
+
+        img = jnp.concatenate([linear_to_srgb(out_rgb), out_a[..., None]], axis=-1)
+        return img[None]  # leading view dim back for the out_spec
+
+    fn = shard_map(
+        view_fn,
+        mesh=mesh,
+        in_specs=tuple(P(axis_name) for _ in range(9)),
+        out_specs=P(axis_name, None, None, None),
+        check_vma=False,
+    )
+    out = fn(
+        stack(rgbs), stack(disps), stack(masks), stack(poss), stack(rots),
+        stack(izmins), stack(izmaxs), stack(focals), stack(skews),
+    )
+    return out[0]  # all shards carry the same fused image
