@@ -20,7 +20,14 @@ import io as _io
 
 import numpy as np
 
-from ..core.color import srgb_to_linear
+
+def _srgb_to_linear_np(x: np.ndarray) -> np.ndarray:
+    """Numpy sRGB EOTF (decode stays off-device: an eager jnp call here
+    would both round-trip every image through the TPU tunnel and flip the
+    runtime into its slow synchronous mode — docs/TPU_NOTES.md)."""
+    return np.where(
+        x <= 0.04045, x / 12.92, np.power((x + 0.055) / 1.055, 2.4)
+    ).astype(np.float32)
 
 __all__ = [
     "decode_image",
@@ -59,7 +66,7 @@ def decode_rgb(data: bytes, linear: bool = True) -> np.ndarray:
     arr = arr[..., :3].astype(np.float32) / 255.0
     arr = arr[::-1].copy()  # GL orientation
     if linear:
-        arr = np.asarray(srgb_to_linear(arr), dtype=np.float32)
+        arr = _srgb_to_linear_np(arr)
     return arr
 
 
@@ -90,9 +97,10 @@ def encode_jpeg(rgb_linear: np.ndarray, quality: int = 92) -> bytes:
     """(H, W, 3) linear float GL-oriented -> sRGB JPEG bytes (top-down)."""
     from PIL import Image
 
-    from ..core.color import linear_to_srgb
-
-    srgb = np.asarray(linear_to_srgb(np.clip(rgb_linear, 0.0, 1.0)))
+    x = np.clip(np.asarray(rgb_linear), 0.0, 1.0)
+    srgb = np.where(
+        x <= 0.0031308, x * 12.92, 1.055 * np.power(x, 1 / 2.4) - 0.055
+    )
     img = (np.clip(srgb, 0, 1) * 255).astype(np.uint8)[::-1]
     buf = _io.BytesIO()
     Image.fromarray(img).save(buf, format="JPEG", quality=quality)

@@ -18,11 +18,18 @@ from ..core.camera import Camera
 from ..core.pose import relative_view_pose
 from ..ops import raycast as _raycast
 from ..ops import stereo as _stereo
+from ..ops import sweep_fast as _sweep_fast
 from .projector import Projector
 
-__all__ = ["RenderMode", "render", "render_mono_view", "render_stereo_view"]
+__all__ = [
+    "RenderMode",
+    "render",
+    "render_fast_view",
+    "render_mono_view",
+    "render_stereo_view",
+]
 
-RenderMode = Literal["raycast", "stereo", "mesh"]
+RenderMode = Literal["raycast", "stereo", "mesh", "fast"]
 
 
 def _relative(projector: Projector, camera: Camera):
@@ -134,6 +141,93 @@ def render_stereo_view(
     )
 
 
+def render_fast_view(
+    projector: Projector,
+    camera: Camera,
+    background=(0.0, 0.0, 0.0, 0.0),
+    feathering: float = 0.1,
+    to_srgb: bool = True,
+    num_planes: int = 40,
+    chunk: int = 2,
+    exact_color: bool = False,
+):
+    """Gather-free MXU plane-sweep render (ops/sweep_fast) — the fast path
+    for translated views (relative rotation must be identity; ~70x the
+    march's throughput on v5e). LDI layers composite front-to-back.
+    exact_color=True solves the per-pixel surface depth with the sweep and
+    fetches the color with ONE bilinear gather at the exact parallax
+    position — march-like quality at roughly half the fast mode's fps.
+    Raises ValueError when the pose needs the general path."""
+    import numpy as np_
+
+    c1, rot1, izmin, izmax = _relative(projector, camera)
+    if not np_.allclose(np_.asarray(rot1), np_.eye(3), atol=1e-5):
+        raise ValueError(
+            "render_fast_view requires identity relative rotation; "
+            "use mode='raycast' for rotated views"
+        )
+    if float(jnp.sum(jnp.abs(jnp.asarray(projector.skew)))) > 1e-9 or (
+        float(jnp.sum(jnp.abs(jnp.asarray(camera.skew)))) > 1e-9
+    ):
+        raise ValueError("render_fast_view does not support skewed frustums")
+
+    result_rgb = None
+    result_a = None
+    for i in range(projector.num_layers):
+        w_i = int(projector.layer_res[i, 0])
+        h_i = int(projector.layer_res[i, 1])
+        disp_i = np_.asarray(projector.disp[i, :h_i, :w_i])
+        # scene-adaptive plane placement: disparity quantiles concentrate
+        # planes where surfaces are (vital when the invz range spans orders
+        # of magnitude, e.g. the SFMoMA scene's 900:1)
+        qs = np_.quantile(
+            disp_i, np_.linspace(0.002, 0.998, num_planes)
+        ).astype(np_.float32)
+        qs = np_.maximum.accumulate(qs)  # enforce monotonic
+        qs = qs[::-1].copy()  # near (high disp) first
+        izmin_i = float(izmin[i])
+        izmax_i = float(izmax[i])
+        plane_invz = izmax_i + (izmin_i - izmax_i) * qs
+        # keep planes strictly descending (dedupe flat regions)
+        eps = (izmin_i - izmax_i) * 1e-5
+        plane_invz = plane_invz - np_.arange(num_planes, dtype=np_.float32) * eps
+
+        layer = _sweep_fast.render_sweep_aligned(
+            jnp.asarray(projector.rgb[i, :h_i, :w_i]),
+            jnp.asarray(projector.disp[i, :h_i, :w_i]),
+            jnp.asarray(projector.mask[i, :h_i, :w_i]),
+            izmin[i],
+            izmax[i],
+            c1,
+            jnp.asarray(camera.focal_px, jnp.float32),
+            jnp.zeros(4, jnp.float32),  # real background blended after layers
+            out_w=camera.width,
+            out_h=camera.height,
+            focal1=jnp.asarray(projector.focal[i], jnp.float32),
+            num_planes=num_planes,
+            chunk=chunk,
+            feathering=feathering,
+            to_srgb=False,
+            plane_invz=jnp.asarray(plane_invz),
+            exact_color=exact_color,
+        )
+        la = layer[..., 3]
+        if result_rgb is None:
+            result_rgb = layer[..., :3]
+            result_a = la
+        else:
+            result_rgb = result_rgb + (1.0 - result_a[..., None]) * layer[..., :3]
+            result_a = result_a + (1.0 - result_a) * la
+    bg = jnp.asarray(background, jnp.float32)
+    out_rgb = bg[:3] * bg[3] * (1.0 - result_a[..., None]) + result_rgb
+    out_a = bg[3] + result_a * (1.0 - bg[3])
+    if to_srgb:
+        from ..core.color import linear_to_srgb
+
+        out_rgb = linear_to_srgb(out_rgb)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+
+
 def render(
     projectors: Projector | Sequence[Projector],
     camera: Camera,
@@ -153,6 +247,8 @@ def render(
     plist = list(projectors) if isinstance(projectors, (list, tuple)) else [projectors]
     if mode == "raycast":
         return render_mono_view(plist[0], camera, **kwargs)
+    if mode == "fast":
+        return render_fast_view(plist[0], camera, **kwargs)
     if mode == "stereo":
         if len(plist) < 2:
             raise ValueError("stereo mode needs two projectors")

@@ -19,7 +19,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bilinear_sample", "nearest_sample", "read_disp"]
+__all__ = [
+    "bilinear_sample",
+    "bilinear_sample_packed",
+    "nearest_sample",
+    "pack_rgbm",
+    "read_disp",
+]
 
 
 def _opaque(*idx):
@@ -109,6 +115,56 @@ def nearest_sample(tex, u, v, res_w, res_h):
     iy = jnp.clip(jnp.floor(v * res_h).astype(jnp.int32), 0, hmax)
     ix, iy = _opaque(ix, iy)
     return _gather(tex, iy, ix)
+
+
+def pack_rgbm(rgb, mask):
+    """Pack (H, W, 3) rgb in [0,1] + (H, W) mask into one int32 channel:
+    10 bits per color + 1 mask bit. A single-channel gather is 4x cheaper
+    than per-channel gathers on TPU (each take costs ~7 ms/1M elements)."""
+    q = jnp.clip(jnp.round(rgb * 1023.0), 0, 1023).astype(jnp.int32)
+    m = (mask > 0.5).astype(jnp.int32)
+    return (q[..., 0] << 21) | (q[..., 1] << 11) | (q[..., 2] << 1) | m
+
+
+def _unpack_rgbm(packed):
+    r = ((packed >> 21) & 1023).astype(jnp.float32) / 1023.0
+    g = ((packed >> 11) & 1023).astype(jnp.float32) / 1023.0
+    b = ((packed >> 1) & 1023).astype(jnp.float32) / 1023.0
+    m = (packed & 1).astype(jnp.float32)
+    return jnp.stack([r, g, b, m], axis=-1)
+
+
+def bilinear_sample_packed(packed_tex, u, v, res_w, res_h):
+    """Bilinear sample of a pack_rgbm texture: 4 int32 taps, unpack, blend.
+    Returns (..., 4) = [r, g, b, mask]."""
+    sx = u * res_w - 0.5
+    sy = v * res_h - 0.5
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    wmax = jnp.asarray(res_w).astype(jnp.int32) - 1
+    hmax = jnp.asarray(res_h).astype(jnp.int32) - 1
+    ix0 = jnp.clip(x0.astype(jnp.int32), 0, wmax)
+    ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, wmax)
+    iy0 = jnp.clip(y0.astype(jnp.int32), 0, hmax)
+    iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, hmax)
+    h, w = packed_tex.shape
+    flat = packed_tex.reshape(-1)
+    shape = u.shape
+
+    def tap(iy, ix):
+        return _unpack_rgbm(
+            jnp.take(flat, (iy * w + ix).reshape(-1)).reshape(shape)
+        )
+
+    t00 = tap(iy0, ix0)
+    t01 = tap(iy0, ix1)
+    t10 = tap(iy1, ix0)
+    t11 = tap(iy1, ix1)
+    top = t00 + (t01 - t00) * fx
+    bot = t10 + (t11 - t10) * fx
+    return top + (bot - top) * fy
 
 
 def read_disp(disp_tex, u, v, v_min, v_max, res_w, res_h):
