@@ -1,0 +1,41 @@
+"""Central configuration: one frozen dataclass instead of scattered defaults.
+
+The reference scatters its knobs across options objects, shader uniforms,
+and magic numbers (SURVEY.md section 5 'Config / flag system'): baseline
+0.063 m (HoloProjector.ts:106), 40 ray steps (rayCastMonoLDI.glsl:223),
+max 4 layers (RaycastPlane.ts:218), feathering 0.1 (RaycastPlane.ts:107),
+depthWrite/gradient-threshold (HoloRenderer.ts:77-135). Here they live in
+one immutable RenderConfig with the same semantics and defaults, plus the
+TPU-specific knobs (plane counts, chunking, precision).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["RenderConfig", "DEFAULT_CONFIG"]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # --- reference-equivalent knobs ---
+    num_steps: int = 40  # ray-march steps (rayCastMonoLDI.glsl:223)
+    max_layers: int = 4  # LDI layer cap (RaycastPlane.ts:218)
+    default_baseline_m: float = 0.063  # HoloProjector.ts:106
+    feathering: float = 0.1  # edge taper (RaycastPlane.ts:107)
+    background: tuple = (0.0, 0.0, 0.0, 0.0)  # RaycastPlane.ts:108
+    delta_invz_threshold: float = 0.0  # mesh gradient cull (HoloRenderer.ts:134)
+    point_size: float = 1.0  # splat footprint scale (holoVertex.glsl:264)
+    mask_dilation: float = 1.5  # stereo mask dilation (rayCastStereoLDI.glsl:135)
+    # --- TPU-native knobs ---
+    sweep_planes: int = 40  # fast-renderer inverse-depth planes
+    sweep_softness: float = 0.5  # occupancy width / local plane spacing
+    sweep_chunk: int = 2  # planes per batched-matmul chunk
+    color_dtype: str = "bfloat16"  # fast-path color warp precision
+    to_srgb: bool = True
+
+    def replace(self, **kwargs) -> "RenderConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+DEFAULT_CONFIG = RenderConfig()

@@ -75,13 +75,33 @@ class Container:
         return f.data
 
 
-def parse(data: bytes) -> Container:
+def parse(data: bytes, prefer_native: bool = True) -> Container:
     """Parse a LIF byte string.
 
     reference semantics: magic u16 at EOF-2 must be 0x1E1A; u32 at EOF-6 is
     the offset (from EOF) of the region start; the region holds a u32 field
     count then (type, size, bytes) records. (LifLoader.ts:380-406)
+
+    Uses the native C++ codec (lif_tpu.native) for the table scan when
+    available, falling back to pure Python.
     """
+    if prefer_native:
+        try:
+            from .. import native as _native
+
+            fields_nat = _native.parse_fields(data)
+        except ValueError as e:
+            raise LifParseError(str(e)) from e
+        except Exception:
+            fields_nat = None
+        if fields_nat is not None:
+            return Container(
+                raw=bytes(data),
+                fields=[
+                    Field(ftype, bytes(data[off : off + size]))
+                    for ftype, off, size in fields_nat
+                ],
+            )
     n = len(data)
     if n < 8:
         raise LifParseError("Not a LIF file (too short)")
