@@ -60,6 +60,15 @@ class Projector:
     width: int = struct.field(pytree_node=False)
     height: int = struct.field(pytree_node=False)
 
+    def to_device(self) -> "Projector":
+        """Device-resident copy: uploads every array field once. Call this
+        before steady-state rendering — otherwise each render call re-sends
+        ~20 MB of textures host->device (hundreds of ms over the axon
+        tunnel)."""
+        import jax
+
+        return jax.device_put(self)
+
     @property
     def intrinsics(self) -> dict:
         """Pixel intrinsics of the base view (fx = fy; centered principal

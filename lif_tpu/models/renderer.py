@@ -31,6 +31,62 @@ __all__ = [
 
 RenderMode = Literal["raycast", "stereo", "mesh", "fast"]
 
+# plane-table cache for the fast path: quantile computation reads the whole
+# disparity map on the host, which must not happen per frame. Keyed by the
+# identity of the projector's disp buffer; the stored strong reference keeps
+# the id stable while cached.
+_PLANE_CACHE: dict = {}
+_PLANE_CACHE_MAX = 64
+
+
+def _prepared_fast(projector, num_planes):
+    """Per-projector constants for the fast path, computed once and cached:
+    device-resident per-layer texture slices, quantile plane tables (scene-
+    adaptive placement — planes where surfaces are, vital when the invz
+    range spans orders of magnitude), skew validity, baseline-normalized
+    ranges. Per-frame work must not touch the host or dispatch eager device
+    ops (each costs ~28 ms through the axon tunnel)."""
+    key = (id(projector.disp), num_planes)
+    hit = _PLANE_CACHE.get(key)
+    if hit is not None and hit[0] is projector.disp:
+        return hit[1]
+
+    baseline = float(np.asarray(projector.baseline))
+    skew_ok = float(np.abs(np.asarray(projector.skew)).sum()) < 1e-9
+    layers = []
+    for i in range(projector.num_layers):
+        w_i = int(projector.layer_res[i, 0])
+        h_i = int(projector.layer_res[i, 1])
+        disp_host = np.asarray(projector.disp[i, :h_i, :w_i])
+        izmin_f = float(np.asarray(projector.invz_min[i])) / baseline
+        izmax_f = float(np.asarray(projector.invz_max[i])) / baseline
+        qs = np.quantile(
+            disp_host, np.linspace(0.002, 0.998, num_planes)
+        ).astype(np.float32)
+        qs = np.maximum.accumulate(qs)  # enforce monotonic
+        qs = qs[::-1].copy()  # near (high disp) first
+        plane_invz = izmax_f + (izmin_f - izmax_f) * qs
+        # keep planes strictly descending (dedupe flat regions)
+        eps = (izmin_f - izmax_f) * 1e-5
+        plane_invz = plane_invz - np.arange(num_planes, dtype=np.float32) * eps
+        layers.append(
+            dict(
+                rgb=jnp.asarray(projector.rgb[i, :h_i, :w_i]),
+                disp=jnp.asarray(projector.disp[i, :h_i, :w_i]),
+                mask=jnp.asarray(projector.mask[i, :h_i, :w_i]),
+                focal=jnp.float32(float(np.asarray(projector.focal[i]))),
+                izmin=jnp.float32(izmin_f),
+                izmax=jnp.float32(izmax_f),
+                plane_invz=jnp.asarray(plane_invz),
+            )
+        )
+    prepared = {"skew_ok": skew_ok, "layers": layers}
+
+    if len(_PLANE_CACHE) >= _PLANE_CACHE_MAX:
+        _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
+    _PLANE_CACHE[key] = (projector.disp, prepared)
+    return prepared
+
 
 def _relative(projector: Projector, camera: Camera):
     """Projector pose in the camera frame (Z-negated position), and the
@@ -151,66 +207,56 @@ def render_fast_view(
     chunk: int = 2,
     exact_color: bool = False,
 ):
-    """Gather-free MXU plane-sweep render (ops/sweep_fast) — the fast path
-    for translated views (relative rotation must be identity; ~70x the
-    march's throughput on v5e). LDI layers composite front-to-back.
-    exact_color=True solves the per-pixel surface depth with the sweep and
-    fetches the color with ONE bilinear gather at the exact parallax
-    position — march-like quality at roughly half the fast mode's fps.
-    Raises ValueError when the pose needs the general path."""
-    import numpy as np_
+    """MXU plane-sweep render (ops/sweep_fast) — the fast path.
 
-    c1, rot1, izmin, izmax = _relative(projector, camera)
-    if not np_.allclose(np_.asarray(rot1), np_.eye(3), atol=1e-5):
-        raise ValueError(
-            "render_fast_view requires identity relative rotation; "
-            "use mode='raycast' for rotated views"
-        )
-    if float(jnp.sum(jnp.abs(jnp.asarray(projector.skew)))) > 1e-9 or (
-        float(jnp.sum(jnp.abs(jnp.asarray(camera.skew)))) > 1e-9
-    ):
+    Translated (rotation-free) views run the fully gather-free sweep (~70x
+    the march's throughput on v5e); rotated views run the two-phase rotated
+    path (aligned depth solve + two gathers, ~20x). LDI layers composite
+    front-to-back. exact_color=True (aligned case) solves the per-pixel
+    surface depth and fetches the color with ONE bilinear gather at the
+    exact parallax position — march-like quality at ~half the fast fps."""
+    pos_np, rot_np = relative_view_pose(
+        np.asarray(projector.position, np.float64),
+        np.asarray(projector.rotation, np.float64),
+        np.asarray(camera.position, np.float64),
+        np.asarray(camera.rotation, np.float64),
+    )
+    rotated = not np.allclose(rot_np, np.eye(3), atol=1e-5)
+    c1 = jnp.asarray(pos_np, jnp.float32)
+    rot1 = jnp.asarray(rot_np, jnp.float32)
+
+    prepared = _prepared_fast(projector, num_planes)
+    if not prepared["skew_ok"] or float(np.abs(np.asarray(camera.skew)).sum()) > 1e-9:
         raise ValueError("render_fast_view does not support skewed frustums")
 
+    f2 = jnp.float32(float(camera.focal_px))
+    zero_bg = jnp.zeros(4, jnp.float32)
     result_rgb = None
     result_a = None
-    for i in range(projector.num_layers):
-        w_i = int(projector.layer_res[i, 0])
-        h_i = int(projector.layer_res[i, 1])
-        disp_i = np_.asarray(projector.disp[i, :h_i, :w_i])
-        # scene-adaptive plane placement: disparity quantiles concentrate
-        # planes where surfaces are (vital when the invz range spans orders
-        # of magnitude, e.g. the SFMoMA scene's 900:1)
-        qs = np_.quantile(
-            disp_i, np_.linspace(0.002, 0.998, num_planes)
-        ).astype(np_.float32)
-        qs = np_.maximum.accumulate(qs)  # enforce monotonic
-        qs = qs[::-1].copy()  # near (high disp) first
-        izmin_i = float(izmin[i])
-        izmax_i = float(izmax[i])
-        plane_invz = izmax_i + (izmin_i - izmax_i) * qs
-        # keep planes strictly descending (dedupe flat regions)
-        eps = (izmin_i - izmax_i) * 1e-5
-        plane_invz = plane_invz - np_.arange(num_planes, dtype=np_.float32) * eps
-
-        layer = _sweep_fast.render_sweep_aligned(
-            jnp.asarray(projector.rgb[i, :h_i, :w_i]),
-            jnp.asarray(projector.disp[i, :h_i, :w_i]),
-            jnp.asarray(projector.mask[i, :h_i, :w_i]),
-            izmin[i],
-            izmax[i],
-            c1,
-            jnp.asarray(camera.focal_px, jnp.float32),
-            jnp.zeros(4, jnp.float32),  # real background blended after layers
+    for lay in prepared["layers"]:
+        common = dict(
             out_w=camera.width,
             out_h=camera.height,
-            focal1=jnp.asarray(projector.focal[i], jnp.float32),
+            focal1=lay["focal"],
             num_planes=num_planes,
             chunk=chunk,
             feathering=feathering,
             to_srgb=False,
-            plane_invz=jnp.asarray(plane_invz),
-            exact_color=exact_color,
+            plane_invz=lay["plane_invz"],
         )
+        if rotated:
+            layer = _sweep_fast.render_rotated(
+                lay["rgb"], lay["disp"], lay["mask"],
+                lay["izmin"], lay["izmax"], c1, rot1, f2, zero_bg,
+                **common,
+            )
+        else:
+            layer = _sweep_fast.render_sweep_aligned(
+                lay["rgb"], lay["disp"], lay["mask"],
+                lay["izmin"], lay["izmax"], c1, f2, zero_bg,
+                **common,
+                exact_color=exact_color,
+            )
         la = layer[..., 3]
         if result_rgb is None:
             result_rgb = layer[..., :3]

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..core.color import linear_to_srgb
 
-__all__ = ["render_sweep_aligned"]
+__all__ = ["render_sweep_aligned", "solve_depth_aligned", "render_rotated"]
 
 
 def _smoothstep(e0, e1, x):
@@ -306,6 +306,247 @@ def render_sweep_aligned(
 
     out_rgb = background[:3] * background[3] * (1.0 - acc_a[..., None]) + acc_rgb
     out_a = background[3] + acc_a * (1.0 - background[3])
+    if to_srgb:
+        out_rgb = linear_to_srgb(out_rgb)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_w", "out_h", "num_planes", "chunk"),
+)
+def solve_depth_aligned(
+    disp,
+    invz_min,
+    invz_max,
+    c1,
+    f2,
+    out_w: int,
+    out_h: int,
+    focal1=None,
+    num_planes: int = 40,
+    chunk: int = 8,
+    plane_invz=None,
+):
+    """Solve the per-pixel surface inverse depth (source-frame units) for an
+    ALIGNED view, gather-free: batched-matmul plane warps of the disparity
+    texture + first-crossing interpolation. Returns (out_h, out_w) invZ*
+    with 0 where the ray found no surface.
+
+    The returned quantity is the source projector's inverse depth of the
+    hit, which is independent of the render camera's ORIENTATION — the
+    basis of the rotated fast path (render_rotated)."""
+    h, w = disp.shape
+    izmin = jnp.asarray(invz_min, jnp.float32)
+    izmax = jnp.asarray(invz_max, jnp.float32)
+    c1 = jnp.asarray(c1, jnp.float32)
+    f1 = jnp.asarray(f2 if focal1 is None else focal1, jnp.float32)
+    f2 = jnp.asarray(f2, jnp.float32)
+
+    if plane_invz is None:
+        ks = (jnp.arange(num_planes, dtype=jnp.float32) + 0.5) / num_planes
+        invz = izmin + (izmax - izmin) * ks
+    else:
+        invz = jnp.asarray(plane_invz, jnp.float32)
+    b = 1.0 + c1[2] * invz
+    scale = b * (f1 / f2)
+    shift_x = -f1 * c1[0] * invz
+    shift_y = -f1 * c1[1] * invz
+
+    disp_wh = disp.astype(jnp.float32).T  # (W, H)
+    found = jnp.zeros((out_h, out_w), bool)
+    invz_star = jnp.zeros((out_h, out_w), jnp.float32)
+    prev_diff = jnp.zeros((out_h, out_w), jnp.float32)
+    prev_invz = jnp.zeros((out_h, out_w), jnp.float32)
+
+    n_chunks = (num_planes + chunk - 1) // chunk
+    for ci in range(n_chunks):
+        lo = ci * chunk
+        hi = min(lo + chunk, num_planes)
+        kb = hi - lo
+        mx32 = _resample_matrices(
+            scale[lo:hi], shift_x[lo:hi], out_w, w, dtype=jnp.float32,
+            clamp_lo=1.5, clamp_hi=w - 2.5,
+        )
+        my32 = _resample_matrices(
+            scale[lo:hi], shift_y[lo:hi], out_h, h, dtype=jnp.float32,
+            clamp_lo=1.5, clamp_hi=h - 2.5,
+        )
+        drow = jax.lax.dot_general(
+            mx32, disp_wh,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dcol = jax.lax.dot_general(
+            my32, drow.transpose(0, 2, 1),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d_k = izmax + (izmin - izmax) * dcol
+        for k in range(kb):
+            diff = d_k[k] - invz[lo + k]
+            crossed = jnp.logical_and(~found, diff > 0.0)
+            if lo + k == 0:
+                t = jnp.zeros_like(diff)
+            else:
+                t = prev_diff / jnp.minimum(prev_diff - diff, -1e-12)
+                t = jnp.clip(t, 0.0, 1.0)
+            cand = prev_invz + t * (invz[lo + k] - prev_invz)
+            invz_star = jnp.where(crossed, cand, invz_star)
+            found = jnp.logical_or(found, crossed)
+            prev_diff = diff
+            prev_invz = jnp.full_like(diff, invz[lo + k])
+
+    return jnp.where(found, invz_star, 0.0)
+
+
+def _projective_blocks(p):
+    """Split a (3,3) projective matrix into the s-coordinate blocks used by
+    the shader parameterization (see ops/raycast.py)."""
+    return (
+        p[0, 0], p[0, 1], p[0, 2],
+        p[1, 0], p[1, 1], p[1, 2],
+        p[2, 0], p[2, 1], p[2, 2],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_w", "out_h", "num_planes", "chunk", "to_srgb",
+                     "fov_margin"),
+)
+def render_rotated(
+    rgb,
+    disp,
+    mask,
+    invz_min,
+    invz_max,
+    c1,
+    rot1,
+    f2,
+    background,
+    out_w: int,
+    out_h: int,
+    focal1=None,
+    num_planes: int = 40,
+    chunk: int = 8,
+    feathering: float = 0.1,
+    to_srgb: bool = True,
+    plane_invz=None,
+    fov_margin: float = 1.35,
+):
+    """Fast render for ROTATED novel views (two-phase, two gathers).
+
+    A camera rotation about its own center does not change which surface
+    point each ray hits — only the image-plane parameterization. So:
+
+      Phase A (gather-free): solve the surface inverse depth with an
+        ALIGNED sweep in an intermediate frame sharing the target camera's
+        POSITION but the projector's ORIENTATION, at a widened FOV
+        (fov_margin) so it covers all target rays.
+      Phase B (elementwise + 2 gathers): for every target pixel, map its
+        ray into the intermediate image (pure rotation homography), fetch
+        invZ* (one bilinear f32 gather), compute the exact source texture
+        coordinate from the full projective raycast geometry, and fetch the
+        color (one packed bilinear gather).
+
+    ~70 ms/frame at 1280x800 on v5e (~14 fps) vs 1.5 s for the march.
+
+    Args mirror render_sweep_aligned plus ``rot1``: the (3, 3) camera-local
+    projector rotation (R_cam^T R_proj, scene convention).
+    """
+    from ..core.transforms import inv3 as _inv3, mat_from_focal as _mff, mm as _mm, shader_rotation as _sr
+    from .sampling import bilinear_sample, bilinear_sample_packed, pack_rgbm
+
+    h, w = disp.shape
+    izmin = jnp.asarray(invz_min, jnp.float32)
+    izmax = jnp.asarray(invz_max, jnp.float32)
+    c1 = jnp.asarray(c1, jnp.float32)
+    rot1 = jnp.asarray(rot1, jnp.float32)
+    f1 = jnp.asarray(f2 if focal1 is None else focal1, jnp.float32)
+    f2 = jnp.asarray(f2, jnp.float32)
+    background = jnp.asarray(background, jnp.float32)
+
+    # ---- Phase A: aligned depth solve in the intermediate frame ----
+    # intermediate camera: target position, projector orientation. Its
+    # camera-local projector position is rot1 applied back to c1: with the
+    # intermediate orientation equal to the projector's, the camera-local
+    # offset R_I^T (p1 - p2) = rot1^T-composed version of the target's.
+    # c1 is the target-frame value (Z-negated); undo the negation, rotate,
+    # re-negate.
+    flip = jnp.asarray([1.0, 1.0, -1.0], jnp.float32)
+    c1_scene = c1 * flip
+    c1_aligned = (rot1.T @ c1_scene) * flip
+    f_i = f2 / fov_margin  # widened intermediate FOV
+    invz_map = solve_depth_aligned(
+        disp, izmin, izmax, c1_aligned, f_i,
+        out_w=out_w, out_h=out_h, focal1=f1,
+        num_planes=num_planes, chunk=chunk, plane_invz=plane_invz,
+    )
+
+    # ---- Phase B ----
+    # target-frame raycast geometry (full projective, skew-free)
+    skr1 = _sr(rot1)  # flipZ rot1^T flipZ
+    fskr1 = _mm(_mff(f1 / w, f1 / h), skr1)
+    fskr2 = _mff(f2 / out_w, f2 / out_h)
+    p_ts = _mm(fskr1, _inv3(fskr2))  # target s2 -> source q
+    c_vec = jnp.matmul(fskr1, (-c1)[..., None],
+                       precision=jax.lax.Precision.HIGHEST)[..., 0]
+
+    # target s2 -> intermediate s_I (pure rotation homography)
+    fskr_i = _mm(_mff(f_i / out_w, f_i / out_h), skr1)
+    p_ti = _mm(fskr_i, _inv3(fskr2))
+
+    jx = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+    iy = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+    s2x = (jx + 0.5) / out_w - 0.5
+    s2y = (iy + 0.5) / out_h - 0.5
+    s2x, s2y = jnp.broadcast_arrays(s2x, s2y)
+
+    def proj_apply(p, sx, sy):
+        a00, a01, a02, a10, a11, a12, a20, a21, a22 = _projective_blocks(p)
+        den = a20 * sx + a21 * sy + a22
+        return (
+            (a00 * sx + a01 * sy + a02) / den,
+            (a10 * sx + a11 * sy + a12) / den,
+            den,
+        )
+
+    six, siy, _ = proj_apply(p_ti, s2x, s2y)
+    invz_hat = bilinear_sample(invz_map, six + 0.5, siy + 0.5, out_w, out_h)
+    found = invz_hat > 0.0
+
+    qx, qy, den_t = proj_apply(p_ts, s2x, s2y)
+    s1x = c_vec[0] * invz_hat + (1.0 - c_vec[2] * invz_hat) * qx
+    s1y = c_vec[1] * invz_hat + (1.0 - c_vec[2] * invz_hat) * qy
+    u1 = s1x + 0.5
+    v1 = s1y + 0.5
+    sampled = bilinear_sample_packed(pack_rgbm(rgb, mask), u1, v1, w, h)
+
+    inside = ((u1 > 0.0) & (u1 < 1.0) & (v1 > 0.0) & (v1 < 1.0)).astype(
+        jnp.float32
+    )
+    # intermediate-image coverage: rays outside the widened FOV are unknown
+    covered = (
+        (jnp.abs(six) < 0.5) & (jnp.abs(siy) < 0.5)
+    ).astype(jnp.float32)
+    f = jnp.maximum(feathering, 1e-6)
+    tap = (
+        _smoothstep(0.0, f, u1) * (1.0 - _smoothstep(1.0 - f, 1.0, u1))
+        * _smoothstep(0.0, f, v1) * (1.0 - _smoothstep(1.0 - f, 1.0, v1))
+    )
+    alpha = (
+        found.astype(jnp.float32)
+        * covered
+        * inside
+        * tap
+        * jnp.clip(sampled[..., 3], 0.0, 1.0)
+    )
+    acc_rgb = sampled[..., :3] * alpha[..., None]
+    out_rgb = background[:3] * background[3] * (1.0 - alpha[..., None]) + acc_rgb
+    out_a = background[3] + alpha * (1.0 - background[3])
     if to_srgb:
         out_rgb = linear_to_srgb(out_rgb)
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)

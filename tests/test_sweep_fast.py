@@ -67,13 +67,14 @@ def test_render_fast_view_api(rng):
     assert img_fast.shape == (h, w, 4)
     assert ref.psnr(img_march, img_fast) > 35.0  # f32 march vs sweep
 
-    # rotated camera must be rejected
+    # rotated camera goes through the two-phase rotated path
     from lif_tpu.core.pose import orbit_pose
 
-    pos, rot = orbit_pose([0, 0, -1], 1.0, 0.3)
+    pos, rot = orbit_pose([0, 0, -1], 1.0, 0.15)
     cam_rot = Camera.create(w, h, focal_px=0.78 * w, position=pos, rotation=rot)
-    with pytest.raises(ValueError):
-        render_fast_view(proj, cam_rot)
+    img_rot = np.asarray(render_fast_view(proj, cam_rot))
+    img_rot_march = np.asarray(render(proj, cam_rot, mode="raycast"))
+    assert ref.psnr(img_rot_march, img_rot) > 35.0
 
 
 def test_fast_view_ldi_layers(rng):
@@ -95,3 +96,40 @@ def test_fast_view_ldi_layers(rng):
     img = np.asarray(render(proj, cam, mode="fast"))
     assert img.shape == (h, w, 4) and np.isfinite(img).all()
     assert (img[..., 3] > 0.2).mean() > 0.3
+
+
+def test_rotated_matches_march(rng):
+    """The two-phase rotated path (aligned depth solve + rotation
+    homography + exact color gather) against the float64 march."""
+    from lif_tpu.core import pose as _pose
+
+    h, w = 48, 64
+    layer = make_layer(rng, h, w)
+    arrs = layers_to_arrays([layer])
+    cam_pos, cam_rot = _pose.orbit_pose([0, 0, -0.8], 0.8, theta=0.12, phi=0.05)
+    c1, rot1 = _pose.relative_view_pose(np.zeros(3), np.eye(3), cam_pos, cam_rot)
+    golden = ref.render_mono_reference(
+        [layer], (0, 0), c1, rot1, 0.78 * w, (0, 0), w, h
+    )
+    img = np.asarray(sweep_fast.render_rotated(
+        jnp.asarray(arrs["rgb"][0]), jnp.asarray(arrs["disp"][0]),
+        jnp.asarray(arrs["mask"][0]),
+        2.0, 0.2, jnp.asarray(c1, jnp.float32), jnp.asarray(rot1, jnp.float32),
+        jnp.float32(0.78 * w), jnp.zeros(4, jnp.float32), out_w=w, out_h=h,
+        focal1=jnp.float32(0.78 * w), num_planes=80,
+    ))
+    assert ref.psnr(golden, img) > 40.0
+
+
+def test_solve_depth_aligned(rng):
+    """Flat disparity: the solved invZ* equals the decoded surface invz."""
+    h, w = 32, 48
+    disp = jnp.full((h, w), 0.25, jnp.float32)
+    izmin, izmax = 2.0, 0.2
+    expected = izmax + (izmin - izmax) * 0.25
+    invz_map = np.asarray(sweep_fast.solve_depth_aligned(
+        disp, izmin, izmax, jnp.asarray([0.1, 0, 0], jnp.float32),
+        jnp.float32(0.78 * w), out_w=w, out_h=h, num_planes=64,
+    ))
+    interior = invz_map[4:-4, 4:-4]
+    np.testing.assert_allclose(interior, expected, rtol=2e-3)
