@@ -37,6 +37,8 @@ from .models.projector import (  # noqa: F401
 from .models.renderer import (  # noqa: F401
     RenderMode,
     render,
+    render_fast_view,
     render_mono_view,
     render_stereo_view,
 )
+from .models.api import orbit_center_from_stereo_data  # noqa: F401
