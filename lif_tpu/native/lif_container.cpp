@@ -70,6 +70,7 @@ enum LifError {
   LIF_ERR_TRUNCATED = -4,
   LIF_ERR_TOO_MANY_FIELDS = -5,
   LIF_ERR_CAPACITY = -6,
+  LIF_ERR_FIELD_TOO_LARGE = -7,  // u32 field-table limits exceeded
 };
 
 int lif_parse(const uint8_t* data, uint64_t size, LifField* out_fields,
@@ -120,6 +121,14 @@ int lif_write(const uint8_t* jpeg, uint64_t jpeg_size, const uint32_t* types,
               const uint8_t** payloads, const uint64_t* sizes,
               uint32_t n_fields, uint8_t* out, uint64_t out_capacity,
               uint64_t* out_size) {
+  // the on-disk field table stores sizes and the region offset as u32be:
+  // refuse payloads or regions that would silently truncate
+  uint64_t region_bytes = 4 + 6;  // field count + trailer
+  for (uint32_t i = 0; i < n_fields; ++i) {
+    if (sizes[i] > UINT32_MAX) return LIF_ERR_FIELD_TOO_LARGE;
+    region_bytes += 8 + sizes[i];
+    if (region_bytes > UINT32_MAX) return LIF_ERR_FIELD_TOO_LARGE;
+  }
   const uint64_t need = lif_write_size(jpeg_size, sizes, n_fields);
   if (out_size) *out_size = need;
   if (need > out_capacity) return LIF_ERR_CAPACITY;

@@ -245,7 +245,10 @@ def render_sweep_aligned(
                 diff = d_k[k] - invz[lo + k]
                 crossed = jnp.logical_and(~found, diff > 0.0)
                 if lo + k == 0:
-                    t = jnp.zeros_like(diff)
+                    # first plane: no bracket yet (prev_invz is a zero
+                    # placeholder) — snap the crossing to the plane itself
+                    # (t=1), not to invz=0
+                    t = jnp.ones_like(diff)
                 else:
                     t = prev_diff / jnp.minimum(prev_diff - diff, -1e-12)
                     t = jnp.clip(t, 0.0, 1.0)
@@ -389,7 +392,10 @@ def solve_depth_aligned(
             diff = d_k[k] - invz[lo + k]
             crossed = jnp.logical_and(~found, diff > 0.0)
             if lo + k == 0:
-                t = jnp.zeros_like(diff)
+                # first plane: no bracket yet (prev_invz is a zero
+                # placeholder) — snap the crossing to the plane itself
+                # (t=1), not to invz=0
+                t = jnp.ones_like(diff)
             else:
                 t = prev_diff / jnp.minimum(prev_diff - diff, -1e-12)
                 t = jnp.clip(t, 0.0, 1.0)

@@ -64,3 +64,23 @@ def test_native_round_trip_large(rng, lib_available):
         a.field_type == b.field_type and a.data == b.data
         for a, b in zip(py.fields, nat.fields)
     )
+
+
+def test_native_write_rejects_u32_overflow(lib_available):
+    """Field sizes and the region offset are u32 on disk; the writer must
+    refuse payloads that would silently truncate (>4 GiB), not corrupt."""
+    import ctypes
+
+    lib = native.load_library()
+    jpeg = b"\xff\xd8\xff\xd9"
+    types = (ctypes.c_uint32 * 1)(8)
+    payloads = (ctypes.c_char_p * 1)(b"tiny")
+    # lie about the size: guard must fire before any memcpy
+    sizes = (ctypes.c_uint64 * 1)(1 << 32)
+    out = ctypes.create_string_buffer(64)
+    out_size = ctypes.c_uint64(0)
+    rc = lib.lif_write(
+        jpeg, len(jpeg), types, payloads, sizes, 1, out, 64,
+        ctypes.byref(out_size),
+    )
+    assert rc == -7  # LIF_ERR_FIELD_TOO_LARGE
