@@ -1,0 +1,350 @@
+"""Gather-free first-crossing plane march for translated views.
+
+The production fast renderer. For an ALIGNED view (no relative rotation or
+skew) with matched focal (f1 == f2) and no camera-axis offset (c1.z == 0),
+the source coordinate of the ray through output pixel j at inverse depth
+invZ is
+
+    gx(j, invZ) = j + (w1 - out_w)/2 - f1 * c1.x * invZ      (pixels)
+
+— a PURE TRANSLATION of the source image per inverse-depth plane. A
+fractional translation is a dynamic slice plus a 2x2 lerp: no gathers, no
+matmuls (docs/TPU_NOTES.md: a 1M-element gather costs ~7 ms on v5e; a
+pad+slice+lerp is sub-ms and fuses). Sweeping K dense planes near -> far
+and detecting the FIRST crossing of the warped disparity over the plane's
+inverse depth reproduces the exact ray march's root (the march's fused
+step-back-and-halve binary refinement converges to the same first crossing;
+reference: src/shaders/rayCastMonoLDI.glsl:253-274). The crossing is
+refined by secant interpolation between the bracketing planes, and the
+color is the matching lerp of the two planes' warped colors — equivalent to
+a bilinear fetch at the refined parallax position once the per-plane
+parallax step is sub-pixel (quantile-placed planes concentrate steps where
+disparity mass is).
+
+Two implementations share the same plan/tables:
+  * render_translation_xla — lax.fori_loop over planes; the CPU-testable
+    oracle (rolled loops are fast to compile on CPU, but cost ~29 ms per
+    iteration through the TPU dispatch tunnel).
+  * lif_tpu.ops.pallas.sweep_march — the TPU production kernel: row-band
+    grid, source bands DMA'd to VMEM once, the whole K-plane loop runs on
+    the VPU without touching HBM.
+
+Border semantics: the march's readDisp clamps sample positions to a 2-texel
+interior border (rayCastMonoLDI.glsl:59-61). Here the source is edge-
+replicate padded instead, which matches exactly for positions >= 2 texels
+outside and differs negligibly inside the 2-texel band (where the
+feathering taper is ~0 anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.color import linear_to_srgb
+
+__all__ = [
+    "TranslationPlan",
+    "translation_plan",
+    "plane_tables",
+    "render_translation",
+    "render_translation_xla",
+]
+
+
+class TranslationPlan(NamedTuple):
+    """Static geometry of the padded source and the sliceable windows.
+
+    All fields are host ints; they parameterize the jitted kernels as
+    static arguments. Pads are bucketed to multiples of 64 so smoothly
+    varying poses (an orbit trajectory) reuse one compiled kernel.
+
+    tab_span_x/y bound the per-plane integer window starts: ix in
+    [0, tab_span_x], iy in [0, tab_span_y]. The pads are sized so that a
+    window of (rounded-up) shape fits at any such start — Mosaic DMA slice
+    SHAPES must be sublane/lane aligned (8, 128), so the Pallas kernel
+    copies (th+1 -> x8, out_w+1 -> x128)-rounded windows.
+    """
+
+    src_w: int
+    src_h: int
+    out_w: int
+    out_h: int
+    pad_lo_x: int  # left pad of the source, pixels
+    pad_hi_x: int
+    pad_lo_y: int
+    pad_hi_y: int
+    tab_span_x: int
+    tab_span_y: int
+
+    @property
+    def padded_w(self) -> int:
+        return self.src_w + self.pad_lo_x + self.pad_hi_x
+
+    @property
+    def padded_h(self) -> int:
+        return self.src_h + self.pad_lo_y + self.pad_hi_y
+
+
+def _bucket(n: int, q: int = 64) -> int:
+    return int(math.ceil(max(n, 1) / q)) * q
+
+
+def _round_up(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
+def translation_plan(
+    src_w: int,
+    src_h: int,
+    out_w: int,
+    out_h: int,
+    max_shift_x: float,
+    max_shift_y: float,
+) -> TranslationPlan:
+    """Build the static plan from host-known shift bounds.
+
+    max_shift_*: bound on |f1 * c1 * invZ| in pixels over the poses this
+    compilation will serve (f1 * |c1| * invz_min). Bucketed so nearby poses
+    share a compilation.
+    """
+    bx = (src_w - out_w) / 2.0
+    by = (src_h - out_h) / 2.0
+    sx = _bucket(int(math.ceil(abs(max_shift_x))) + 2)
+    sy = _bucket(int(math.ceil(abs(max_shift_y))) + 2)
+    pad_lo_x = max(0, int(math.ceil(sx - bx)))
+    pad_lo_y = max(0, int(math.ceil(sy - by)))
+    tab_span_x = int(math.ceil(bx + sx)) + pad_lo_x
+    tab_span_y = int(math.ceil(by + sy)) + pad_lo_y
+    # widest windows the kernels slice: x -> round_up(out_w+1, 128) lanes,
+    # y -> band of round_up(tab_span_y + round_up(th+1, 8), 8) rows starting
+    # at out_h - th; +16 rows covers every band size th
+    ww = _round_up(out_w + 1, 128)
+    pad_hi_x = max(0, tab_span_x + ww - src_w - pad_lo_x)
+    pad_hi_y = max(0, out_h + tab_span_y + 16 - src_h - pad_lo_y)
+    return TranslationPlan(
+        src_w, src_h, out_w, out_h, pad_lo_x, pad_hi_x, pad_lo_y, pad_hi_y,
+        tab_span_x, tab_span_y,
+    )
+
+
+def plane_tables(plan: TranslationPlan, plane_invz, c1, f1):
+    """Per-plane slice tables (traced): window starts + bilinear fractions.
+
+    Returns (ix, fx, iy, fy) each of shape (K,); ix/iy int32 window starts
+    into the padded source, fx/fy float32 fractional offsets.
+    """
+    invz = jnp.asarray(plane_invz, jnp.float32)
+    f1 = jnp.asarray(f1, jnp.float32)
+    c1 = jnp.asarray(c1, jnp.float32)
+    bx = (plan.src_w - plan.out_w) / 2.0
+    by = (plan.src_h - plan.out_h) / 2.0
+    tx = bx - f1 * c1[0] * invz + plan.pad_lo_x
+    ty = by - f1 * c1[1] * invz + plan.pad_lo_y
+    # saturate out-of-plan shifts at the pad border (edge-clamp behaviour;
+    # visibility is zero out there anyway)
+    tx = jnp.clip(tx, 0.0, plan.tab_span_x - 1e-3)
+    ty = jnp.clip(ty, 0.0, plan.tab_span_y - 1e-3)
+    ix = jnp.floor(tx).astype(jnp.int32)
+    iy = jnp.floor(ty).astype(jnp.int32)
+    return ix, tx - ix, iy, ty - iy
+
+
+def pad_sources(plan: TranslationPlan, rgb, disp, mask):
+    """Edge-replicate pad; color+mask stacked channel-major (4, Hp, Wp)."""
+    pads = (
+        (plan.pad_lo_y, plan.pad_hi_y),
+        (plan.pad_lo_x, plan.pad_hi_x),
+    )
+    dpad = jnp.pad(disp.astype(jnp.float32), pads, mode="edge")
+    rgbm = jnp.concatenate(
+        [rgb.astype(jnp.float32), mask.astype(jnp.float32)[..., None]], axis=-1
+    )
+    cpad = jnp.pad(rgbm.transpose(2, 0, 1), ((0, 0),) + pads, mode="edge")
+    return dpad, cpad
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _finalize(
+    plan: TranslationPlan,
+    found,
+    invz_star,
+    rgba_star,
+    c1,
+    f1,
+    invz_min,
+    background,
+    feathering: float,
+    mask_mode: str,
+    to_srgb: bool,
+):
+    """Hit validity, taper, mask, premultiply, background blend.
+
+    Mirrors raycast_layer's hit handling (ops/raycast.py:221-276) for the
+    aligned case: the final source position follows from invz*.
+    """
+    c1 = jnp.asarray(c1, jnp.float32)
+    f1 = jnp.asarray(f1, jnp.float32)
+    jx = jnp.arange(plan.out_w, dtype=jnp.float32)[None, :]
+    iy = jnp.arange(plan.out_h, dtype=jnp.float32)[:, None]
+    bx = (plan.src_w - plan.out_w) / 2.0
+    by = (plan.src_h - plan.out_h) / 2.0
+    gx = jx + bx - f1 * c1[0] * invz_star
+    gy = iy + by - f1 * c1[1] * invz_star
+    u1 = (gx + 0.5) / plan.src_w
+    v1 = (gy + 0.5) / plan.src_h
+    inside = (
+        (u1 > 0.0) & (u1 < 1.0) & (v1 > 0.0) & (v1 < 1.0)
+    ).astype(jnp.float32)
+    f = jnp.maximum(feathering, 1e-6)
+    tap = (
+        _smoothstep(0.0, f, u1) * (1.0 - _smoothstep(1.0 - f, 1.0, u1))
+        * _smoothstep(0.0, f, v1) * (1.0 - _smoothstep(1.0 - f, 1.0, v1))
+    )
+    alpha = found * inside * tap
+    if mask_mode == "multiply":
+        alpha = alpha * jnp.clip(rgba_star[..., 3], 0.0, 1.0)
+    elif mask_mode != "none":
+        raise ValueError(f"unsupported mask_mode: {mask_mode}")
+
+    background = jnp.asarray(background, jnp.float32)
+    acc_rgb = rgba_star[..., :3] * alpha[..., None]
+    out_rgb = background[:3] * background[3] * (1.0 - alpha[..., None]) + acc_rgb
+    out_a = background[3] + alpha * (1.0 - background[3])
+    if to_srgb:
+        out_rgb = linear_to_srgb(out_rgb)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "num_planes", "mask_mode", "to_srgb"),
+)
+def render_translation_xla(
+    rgb,
+    disp,
+    mask,
+    invz_min,
+    invz_max,
+    c1,
+    f1,
+    plane_invz,
+    background,
+    plan: TranslationPlan,
+    num_planes: int,
+    feathering: float = 0.1,
+    mask_mode: str = "none",
+    to_srgb: bool = True,
+):
+    """XLA oracle: rolled fori_loop over planes (CPU-fast, TPU-slow).
+
+    Args:
+      rgb: (H, W, 3) linear source colors, GL-oriented.
+      disp: (H, W) normalized inverse depth.
+      mask: (H, W) alpha mask.
+      invz_min/invz_max: baseline-normalized inverse-depth range (scalars).
+      c1: (3,) projector position in the camera frame (shader convention);
+        c1[2] must be ~0 (translation case — caller dispatches).
+      f1: source focal in pixels; must equal the render focal f2.
+      plane_invz: (num_planes,) descending (near -> far) plane positions.
+      plan: static TranslationPlan covering the shift range.
+    """
+    izmin = jnp.asarray(invz_min, jnp.float32)
+    izmax = jnp.asarray(invz_max, jnp.float32)
+    invz = jnp.asarray(plane_invz, jnp.float32)
+    ix_t, fx_t, iy_t, fy_t = plane_tables(plan, invz, c1, f1)
+    dpad, cpad = pad_sources(plan, rgb, disp, mask)
+
+    oh, ow = plan.out_h, plan.out_w
+
+    def warp(k):
+        """Bilinear 2-D translation of disp + color planes at plane k."""
+        ix, iy = ix_t[k], iy_t[k]
+        fx, fy = fx_t[k], fy_t[k]
+
+        def win(arr2d, dy, dx):
+            return jax.lax.dynamic_slice(arr2d, (iy + dy, ix + dx), (oh, ow))
+
+        def bil(arr2d):
+            top = win(arr2d, 0, 0) * (1.0 - fx) + win(arr2d, 0, 1) * fx
+            bot = win(arr2d, 1, 0) * (1.0 - fx) + win(arr2d, 1, 1) * fx
+            return top * (1.0 - fy) + bot * fy
+
+        texel = bil(dpad)
+        d = texel * (izmin - izmax) + izmax
+        rgba = jnp.stack([bil(cpad[c]) for c in range(4)], axis=-1)
+        return d, rgba
+
+    def body(k, carry):
+        found, invz_star, rgba_star, prev_diff, prev_rgba = carry
+        d, rgba = warp(k)
+        izk = invz[k]
+        diff = d - izk
+        crossed = (found < 0.5) & (diff > 0.0)
+        prev_iz = invz[jnp.maximum(k - 1, 0)]
+        t = jnp.clip(
+            prev_diff / jnp.minimum(prev_diff - diff, -1e-12), 0.0, 1.0
+        )
+        t = jnp.where(k == 0, jnp.ones_like(t), t)
+        iz_c = prev_iz + t * (izk - prev_iz)
+        rgba_c = prev_rgba + t[..., None] * (rgba - prev_rgba)
+        invz_star = jnp.where(crossed, iz_c, invz_star)
+        rgba_star = jnp.where(crossed[..., None], rgba_c, rgba_star)
+        found = jnp.maximum(found, crossed.astype(jnp.float32))
+        return found, invz_star, rgba_star, diff, rgba
+
+    init = (
+        jnp.zeros((oh, ow), jnp.float32),
+        jnp.zeros((oh, ow), jnp.float32),
+        jnp.zeros((oh, ow, 4), jnp.float32),
+        jnp.zeros((oh, ow), jnp.float32),
+        jnp.zeros((oh, ow, 4), jnp.float32),
+    )
+    found, invz_star, rgba_star, _, _ = jax.lax.fori_loop(
+        0, num_planes, body, init
+    )
+    return _finalize(
+        plan, found, invz_star, rgba_star, c1, f1, izmin, background,
+        feathering, mask_mode, to_srgb,
+    )
+
+
+def render_translation(
+    rgb,
+    disp,
+    mask,
+    invz_min,
+    invz_max,
+    c1,
+    f1,
+    plane_invz,
+    background,
+    plan: TranslationPlan,
+    num_planes: int,
+    feathering: float = 0.1,
+    mask_mode: str = "none",
+    to_srgb: bool = True,
+):
+    """Backend dispatch: Pallas kernel on TPU, XLA fori_loop elsewhere."""
+    if jax.default_backend() == "cpu":
+        return render_translation_xla(
+            rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
+            background, plan, num_planes, feathering=feathering,
+            mask_mode=mask_mode, to_srgb=to_srgb,
+        )
+    from .pallas.sweep_march import render_translation_pallas
+
+    return render_translation_pallas(
+        rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
+        background, plan, num_planes, feathering=feathering,
+        mask_mode=mask_mode, to_srgb=to_srgb,
+    )

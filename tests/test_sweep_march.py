@@ -1,0 +1,180 @@
+"""Golden tests for the first-crossing translation march (the fast path).
+
+The oracle chain: ops/raycast (golden-tested against the float64 reference
+renderer) -> sweep_march XLA (this file: >=40 dB vs the march at high step
+count) -> the Pallas kernel (exact equality with the XLA version in
+interpret mode; bit-level TPU equality is exercised in the bench).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lif_tpu.ops import raycast, sweep_march
+from lif_tpu.ops.pallas.sweep_march import render_translation_pallas
+
+
+def _scene(rng, h=96, w=128):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    disp = 0.5 + 0.3 * np.sin(xx / 17) * np.cos(yy / 13)
+    disp[30:60, 40:80] = 0.95  # near box: a hard depth edge
+    rgb = rng.random((h, w, 3), dtype=np.float32)
+    # local smoothing so bilinear-vs-plane-lerp differences are realistic
+    k = np.ones(5, np.float32) / 5.0
+    for c in range(3):
+        rgb[..., c] = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, rgb[..., c]
+        )
+    mask = np.ones((h, w), np.float32)
+    return rgb.astype(np.float32), disp.astype(np.float32), mask
+
+
+def _march(rgb, disp, mask, izmin, izmax, f1, c1, w, h, steps=160):
+    return np.asarray(
+        raycast.render_mono(
+            jnp.asarray(rgb[None]),
+            jnp.asarray(disp[None]),
+            jnp.asarray(mask[None]),
+            jnp.asarray([[w, h]], jnp.float32),
+            jnp.asarray([izmin]),
+            jnp.asarray([izmax]),
+            jnp.asarray([f1]),
+            jnp.zeros(2),
+            jnp.asarray(c1),
+            jnp.eye(3),
+            jnp.float32(f1),
+            jnp.zeros(2),
+            jnp.zeros(4),
+            out_w=w,
+            out_h=h,
+            num_layers=1,
+            num_steps=steps,
+            mask_mode="none",
+        )
+    )
+
+
+def _planes(disp, izmin, izmax, K):
+    kq = K - K // 4
+    qs = np.quantile(disp, np.linspace(0.002, 0.998, kq)).astype(np.float32)
+    vals = np.concatenate(
+        [
+            izmax + (izmin - izmax) * qs,
+            izmax
+            + (izmin - izmax) * np.linspace(0.001, 0.999, K - kq).astype(np.float32),
+        ]
+    )
+    vals = np.sort(vals)[::-1].copy()
+    return vals - np.arange(K, dtype=np.float32) * (izmin - izmax) * 1e-6
+
+
+def _psnr(a, b):
+    mse = np.mean((a[..., :3] - b[..., :3]) ** 2)
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def test_translation_march_matches_converged_march(rng):
+    """The gather-free first-crossing sweep reproduces the ray march's
+    surface (>=40 dB vs the CONVERGED march; the 40-step march's own error
+    vs converged is the reference's noise floor — see docs/DESIGN.md)."""
+    rgb, disp, mask = _scene(rng)
+    h, w = disp.shape
+    izmin, izmax = 2.0, 0.1
+    f1 = 0.78 * w
+    c1 = np.array([0.06, 0.025, 0.0], np.float32)
+    K = 192
+    plane = _planes(disp, izmin, izmax, K)
+    plan = sweep_march.translation_plan(
+        w, h, w, h, f1 * abs(c1[0]) * izmin, f1 * abs(c1[1]) * izmin
+    )
+    img = np.asarray(
+        sweep_march.render_translation_xla(
+            jnp.asarray(rgb), jnp.asarray(disp), jnp.asarray(mask),
+            izmin, izmax, jnp.asarray(c1), f1, jnp.asarray(plane),
+            jnp.zeros(4), plan=plan, num_planes=K, mask_mode="none",
+        )
+    )
+    ref = _march(rgb, disp, mask, izmin, izmax, f1, c1, w, h, steps=160)
+    p = _psnr(img, ref)
+    assert p >= 40.0, f"only {p:.1f} dB vs the converged march"
+    # alpha fields agree too (hit validity + taper)
+    assert np.mean(np.abs(img[..., 3] - ref[..., 3])) < 5e-3
+
+
+def test_pallas_kernel_equals_xla_oracle(rng):
+    """The production Pallas kernel is arithmetically identical to the XLA
+    formulation (lateral case), verified in interpret mode."""
+    h, w = 96, 128
+    disp = rng.random((h, w), dtype=np.float32)
+    rgb = rng.random((h, w, 3), dtype=np.float32)
+    mask = (rng.random((h, w)) > 0.2).astype(np.float32)
+    izmin, izmax = 2.0, 0.1
+    f1 = 0.78 * w
+    c1 = np.array([0.05, 0.0, 0.0], np.float32)
+    bg = np.asarray([0.1, 0.2, 0.3, 1.0], np.float32)
+    K = 64
+    plane = (izmax + (izmin - izmax) * np.linspace(0.999, 0.001, K)).astype(
+        np.float32
+    )
+    plan = sweep_march.translation_plan(w, h, w, h, f1 * abs(c1[0]) * izmin, 0.0)
+    args = (
+        jnp.asarray(rgb), jnp.asarray(disp), jnp.asarray(mask),
+        izmin, izmax, jnp.asarray(c1), f1, jnp.asarray(plane), jnp.asarray(bg),
+    )
+    for mode in ("multiply", "none"):
+        a = np.asarray(
+            sweep_march.render_translation_xla(
+                *args, plan=plan, num_planes=K, mask_mode=mode
+            )
+        )
+        b = np.asarray(
+            render_translation_pallas(
+                *args, plan=plan, num_planes=K, mask_mode=mode, interpret=True
+            )
+        )
+        assert np.abs(a - b).max() < 1e-5, mode
+
+
+def test_first_plane_crossing_snaps_to_nearest_plane(rng):
+    """disp == 1.0 everywhere: every ray crosses at the first plane; the
+    solved surface must sit at invz_min, not at 0 (the round-1 k==0 bug)."""
+    h, w = 32, 64
+    disp = np.ones((h, w), np.float32)
+    rgb = rng.random((h, w, 3), dtype=np.float32)
+    mask = np.ones((h, w), np.float32)
+    izmin, izmax = 2.0, 0.2
+    f1 = 0.78 * w
+    c1 = np.array([0.05, 0.0, 0.0], np.float32)
+    K = 16
+    plane = (izmax + (izmin - izmax) * np.linspace(0.999, 0.001, K)).astype(
+        np.float32
+    )
+    plan = sweep_march.translation_plan(w, h, w, h, f1 * 0.05 * izmin, 0.0)
+    img = np.asarray(
+        sweep_march.render_translation_xla(
+            jnp.asarray(rgb), jnp.asarray(disp), jnp.asarray(mask),
+            izmin, izmax, jnp.asarray(c1), f1, jnp.asarray(plane),
+            jnp.zeros(4), plan=plan, num_planes=K, mask_mode="none",
+        )
+    )
+    ref = _march(rgb, disp, mask, izmin, izmax, f1, c1, w, h, steps=160)
+    # interior pixels must match the march (shift of ~izmin*f*c pixels)
+    assert _psnr(img[4:-4, 12:-12], ref[4:-4, 12:-12]) > 40.0
+
+
+def test_renderer_fast_auto_uses_march(rng):
+    """render(mode='fast') on a lateral pose goes through the march path
+    and agrees with the exact ray march."""
+    from lif_tpu import Camera, projector_from_arrays, render
+
+    h, w = 96, 128
+    rgb, disp, mask = _scene(rng)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.1, baseline=1.0
+    )
+    cam = Camera.create(w, h, focal_px=0.78 * w, position=[0.06, 0.0, 0.0])
+    img = np.asarray(render(proj, cam, mode="fast", num_planes=128))
+    ref = np.asarray(
+        render(proj, cam, mode="raycast", mask_mode="none", num_steps=160)
+    )
+    assert _psnr(img, ref) >= 38.0
