@@ -16,7 +16,7 @@ Public surface mirrors the reference's exports (reference: src/index.ts:4-19):
   createHoloProjectorFromLifView -> projector_from_lif_view
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .core.camera import Camera  # noqa: F401
 from .core.pose import (  # noqa: F401
@@ -34,11 +34,15 @@ from .models.projector import (  # noqa: F401
     projector_from_arrays,
     projector_from_lif_view,
 )
+from .config import DEFAULT_CONFIG, RenderConfig  # noqa: F401
 from .models.renderer import (  # noqa: F401
     RenderMode,
     render,
+    render_fast_batch,
     render_fast_view,
     render_mono_view,
+    render_stereo_fast,
+    render_stereo_fast_batch,
     render_stereo_view,
 )
 from .models.api import orbit_center_from_stereo_data  # noqa: F401

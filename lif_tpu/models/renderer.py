@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import DEFAULT_CONFIG, RenderConfig
 from ..core.camera import Camera
 from ..core.pose import relative_view_pose
 from ..ops import raycast as _raycast
@@ -26,27 +27,62 @@ from .projector import Projector
 __all__ = [
     "RenderMode",
     "render",
+    "render_fast_batch",
     "render_fast_view",
     "render_mono_view",
+    "render_stereo_fast",
+    "render_stereo_fast_batch",
     "render_stereo_view",
 ]
 
-RenderMode = Literal["raycast", "stereo", "mesh", "fast"]
+RenderMode = Literal["raycast", "stereo", "stereo_fast", "mesh", "fast"]
 
 # plane-table cache for the fast path: quantile computation reads the whole
 # disparity map on the host, which must not happen per frame. Keyed by the
-# identity of the projector's disp buffer; the stored strong reference keeps
-# the id stable while cached.
-_PLANE_CACHE: dict = {}
+# identity of the projector's disp buffer (the stored strong reference keeps
+# the id stable while cached) PLUS a strided content fingerprint, so an
+# in-place mutation of a numpy-backed disp (e.g. a fit loop writing into
+# the same buffer) invalidates the entry instead of serving stale planes.
+# LRU eviction.
+from collections import OrderedDict as _OrderedDict
+
+_PLANE_CACHE: "_OrderedDict" = _OrderedDict()
 _PLANE_CACHE_MAX = 64
 
 
-def _hybrid_planes(disp_host, izmin_f, izmax_f, num_planes):
-    """Scene-adaptive inverse-depth plane table, near -> far (descending):
-    75% disparity quantiles (planes where surfaces are — vital when the
-    invz range spans orders of magnitude) + 25% uniform coverage (edges
-    cross in the gaps between disparity modes). Measured on the SFMoMA
-    900:1 range: hybrid placement gains ~1-3 dB over pure quantiles."""
+def _disp_fingerprint(disp) -> int:
+    """Cheap content hash: a ~4k-element stride sample of the raw buffer.
+    Only mutable host buffers are sampled — jax arrays are immutable AND
+    hashing one would drag the whole buffer device->host every frame."""
+    if isinstance(disp, jax.Array):
+        return 0
+    a = np.asarray(disp).reshape(-1)
+    stride = max(1, a.size // 4096)
+    return hash(a[::stride].tobytes())
+
+
+def _plane_table(disp_host, izmin_f, izmax_f, num_planes, mode="uniform"):
+    """Inverse-depth plane table, near -> far (strictly descending).
+
+    mode='uniform' (default): the march's own step positions,
+    izmin - k * (izmin - izmax) / K — scene-independent, exactly the grid
+    rayCastMonoLDI.glsl:223's 40-step march uses densified K/40-fold.
+    Measured on the SFMoMA pose (docs/DESIGN.md): uniform at K=256 scores
+    43.7 dB vs the converged march where 75%-quantile hybrid placement
+    scores 39.6 dB — quantiles crowd planes into the dominant disparity
+    modes and starve the gaps where occlusion edges actually cross, so
+    uniform wins whenever the per-plane parallax step f*|c|*(izmin-izmax)/K
+    is ~sub-pixel.
+
+    mode='hybrid': 75% disparity quantiles + 25% uniform — useful when K
+    must stay small and disparity mass is tightly clustered."""
+    if mode == "uniform":
+        step = (izmin_f - izmax_f) / num_planes
+        return (
+            izmin_f - np.arange(num_planes, dtype=np.float32) * step
+        ).astype(np.float32)
+    if mode != "hybrid":
+        raise ValueError(f"unknown plane mode: {mode}")
     kq = num_planes - num_planes // 4
     qs = np.quantile(disp_host, np.linspace(0.002, 0.998, kq)).astype(
         np.float32
@@ -65,15 +101,19 @@ def _hybrid_planes(disp_host, izmin_f, izmax_f, num_planes):
     return vals - np.arange(num_planes, dtype=np.float32) * eps
 
 
-def _prepared_fast(projector, num_planes):
+def _prepared_fast(projector, num_planes, plane_mode="uniform"):
     """Per-projector constants for the fast path, computed once and cached:
-    device-resident per-layer texture slices, hybrid plane tables, skew
+    device-resident per-layer texture slices, plane tables, skew
     validity, baseline-normalized ranges. Per-frame work must not touch the
     host or dispatch eager device ops (each costs ~28 ms through the axon
     tunnel)."""
-    key = (id(projector.disp), num_planes)
+    key = (
+        id(projector.disp), num_planes, plane_mode,
+        _disp_fingerprint(projector.disp),
+    )
     hit = _PLANE_CACHE.get(key)
     if hit is not None and hit[0] is projector.disp:
+        _PLANE_CACHE.move_to_end(key)
         return hit[1]
 
     baseline = float(np.asarray(projector.baseline))
@@ -85,12 +125,18 @@ def _prepared_fast(projector, num_planes):
         disp_host = np.asarray(projector.disp[i, :h_i, :w_i])
         izmin_f = float(np.asarray(projector.invz_min[i])) / baseline
         izmax_f = float(np.asarray(projector.invz_max[i])) / baseline
-        plane_invz = _hybrid_planes(disp_host, izmin_f, izmax_f, num_planes)
+        plane_invz = _plane_table(
+            disp_host, izmin_f, izmax_f, num_planes, mode=plane_mode
+        )
+        mask_i = jnp.asarray(projector.mask[i, :h_i, :w_i])
         layers.append(
             dict(
                 rgb=jnp.asarray(projector.rgb[i, :h_i, :w_i]),
                 disp=jnp.asarray(projector.disp[i, :h_i, :w_i]),
-                mask=jnp.asarray(projector.mask[i, :h_i, :w_i]),
+                mask=mask_i,
+                # stereo's dilated hard-discard mask, prepared once
+                # (erode + threshold replaces isMaskAround's 9 samples)
+                mask_eroded=_sweep_march.erode_mask_for_stereo(mask_i),
                 focal=jnp.float32(float(np.asarray(projector.focal[i]))),
                 focal_host=float(np.asarray(projector.focal[i])),
                 izmin=jnp.float32(izmin_f),
@@ -103,8 +149,8 @@ def _prepared_fast(projector, num_planes):
         )
     prepared = {"skew_ok": skew_ok, "layers": layers}
 
-    if len(_PLANE_CACHE) >= _PLANE_CACHE_MAX:
-        _PLANE_CACHE.pop(next(iter(_PLANE_CACHE)))
+    while len(_PLANE_CACHE) >= _PLANE_CACHE_MAX:
+        _PLANE_CACHE.popitem(last=False)
     _PLANE_CACHE[key] = (projector.disp, prepared)
     return prepared
 
@@ -131,11 +177,12 @@ def _relative(projector: Projector, camera: Camera):
 def render_mono_view(
     projector: Projector,
     camera: Camera,
-    background=(0.0, 0.0, 0.0, 0.0),
-    feathering: float = 0.1,
-    to_srgb: bool = True,
-    num_steps: int = _raycast.NUM_STEPS,
+    background=None,
+    feathering: float | None = None,
+    to_srgb: bool | None = None,
+    num_steps: int | None = None,
     mask_mode: str | None = None,
+    config: RenderConfig | None = None,
 ):
     """Render one projector into the camera: the raycast ('raytracing')
     mode. Returns (H, W, 4) GL-oriented.
@@ -143,7 +190,14 @@ def render_mono_view(
     mask_mode defaults to the reference behaviour: LDI projectors multiply
     the bilinear mask into alpha; single-layer maskless projectors use the
     taper only (uNumLayers == 0 path, rayCastMonoLDI.glsl:277-279).
+
+    Unset keyword knobs resolve from `config` (DEFAULT_CONFIG when None).
     """
+    cfg = config or DEFAULT_CONFIG
+    background = cfg.background if background is None else background
+    feathering = cfg.feathering if feathering is None else feathering
+    to_srgb = cfg.to_srgb if to_srgb is None else to_srgb
+    num_steps = cfg.num_steps if num_steps is None else num_steps
     c1, rot1, izmin, izmax = _relative(projector, camera)
     if mask_mode is None:
         mask_mode = "multiply" if projector.num_layers > 1 else "none"
@@ -175,13 +229,20 @@ def render_stereo_view(
     left: Projector,
     right: Projector,
     camera: Camera,
-    background=(0.0, 0.0, 0.0, 0.0),
-    feathering: float = 0.1,
-    to_srgb: bool = True,
-    num_steps: int = _raycast.NUM_STEPS,
+    background=None,
+    feathering: float | None = None,
+    to_srgb: bool | None = None,
+    num_steps: int | None = None,
+    config: RenderConfig | None = None,
 ):
     """Render blending two projectors (the stereo mode).
-    reference: RaycastPlane.ts:812-843 + rayCastStereoLDI.glsl."""
+    reference: RaycastPlane.ts:812-843 + rayCastStereoLDI.glsl.
+    Unset keyword knobs resolve from `config` (DEFAULT_CONFIG when None)."""
+    cfg = config or DEFAULT_CONFIG
+    background = cfg.background if background is None else background
+    feathering = cfg.feathering if feathering is None else feathering
+    to_srgb = cfg.to_srgb if to_srgb is None else to_srgb
+    num_steps = cfg.num_steps if num_steps is None else num_steps
     c1_l, rot1_l, izmin_l, izmax_l = _relative(left, camera)
     c1_r, rot1_r, izmin_r, izmax_r = _relative(right, camera)
     num_layers = min(left.num_layers, right.num_layers)
@@ -221,14 +282,16 @@ def render_stereo_view(
 def render_fast_view(
     projector: Projector,
     camera: Camera,
-    background=(0.0, 0.0, 0.0, 0.0),
-    feathering: float = 0.1,
-    to_srgb: bool = True,
+    background=None,
+    feathering: float | None = None,
+    to_srgb: bool | None = None,
     num_planes: int | None = None,
-    chunk: int = 2,
+    chunk: int | None = None,
     exact_color: bool = False,
     method: str = "auto",
     mask_mode: str | None = None,
+    refine: int | None = None,
+    config: RenderConfig | None = None,
 ):
     """Fast gather-free render — the production path.
 
@@ -249,6 +312,12 @@ def render_fast_view(
     mask_mode: None -> reference default (multiply for LDI projectors,
     taper-only for single-layer), or 'multiply' / 'none' explicitly.
     """
+    cfg = config or DEFAULT_CONFIG
+    background = cfg.background if background is None else background
+    feathering = cfg.feathering if feathering is None else feathering
+    to_srgb = cfg.to_srgb if to_srgb is None else to_srgb
+    chunk = cfg.sweep_chunk if chunk is None else chunk
+    refine = cfg.march_refine if refine is None else refine
     pos_np, rot_np = relative_view_pose(
         np.asarray(projector.position, np.float64),
         np.asarray(projector.rotation, np.float64),
@@ -261,14 +330,19 @@ def render_fast_view(
     if mask_mode is None:
         mask_mode = "multiply" if projector.num_layers > 1 else "none"
 
+    # the march path amortizes dense planes (VMEM-resident loop with
+    # data-dependent skipping) and wants the march's own uniform grid;
+    # the matmul sweep pays per plane, so it runs few, quantile-packed ones
+    lateral_pose = (
+        not rotated and abs(pos_np[1]) < 1e-9 and abs(pos_np[2]) < 1e-9
+    )
+    marching = method != "sweep" and lateral_pose
     if num_planes is None:
-        # the march path amortizes dense planes (VMEM-resident loop with
-        # data-dependent skipping); the matmul sweep pays per plane
-        lateral_pose = (
-            not rotated and abs(pos_np[1]) < 1e-9 and abs(pos_np[2]) < 1e-9
-        )
-        num_planes = 256 if (method != "sweep" and lateral_pose) else 40
-    prepared = _prepared_fast(projector, num_planes)
+        num_planes = cfg.march_planes if marching else cfg.sweep_planes
+    prepared = _prepared_fast(
+        projector, num_planes,
+        plane_mode=cfg.plane_mode if marching else "hybrid",
+    )
     if not prepared["skew_ok"] or float(np.abs(np.asarray(camera.skew)).sum()) > 1e-9:
         raise ValueError("render_fast_view does not support skewed frustums")
 
@@ -318,6 +392,7 @@ def render_fast_view(
         plans=tuple(plans),
         use_march=tuple(use_march),
         rotated=rotated,
+        refine=refine,
         num_planes=num_planes,
         chunk=chunk,
         feathering=float(feathering),
@@ -339,6 +414,463 @@ def render_fast_view(
         layer_args, c1, rot1, jnp.float32(f2_host),
         jnp.asarray(background, jnp.float32),
     )
+
+
+def render_fast_batch(
+    projector: Projector,
+    cameras: Sequence[Camera],
+    background=None,
+    feathering: float | None = None,
+    to_srgb: bool | None = None,
+    num_planes: int | None = None,
+    chunk: int | None = None,
+    exact_color: bool = False,
+    method: str = "auto",
+    mask_mode: str | None = None,
+    refine: int | None = None,
+    config: RenderConfig | None = None,
+):
+    """Render MANY novel views in ONE device dispatch. Returns (B, H, W, 4).
+
+    The per-dispatch latency through the host->TPU tunnel (~9 ms measured,
+    docs/TPU_NOTES.md) dominates single-frame rendering; production
+    trajectory/stereo workloads are batch-shaped, so this is the production
+    entry point. When every pose is LATERAL (no relative rotation,
+    translation along x only) the whole batch is a single Pallas launch in
+    which the pose axis iterates innermost over the resident source window
+    (ops/pallas/sweep_march.py); otherwise the frames run as one jitted
+    program (the dispatch still amortizes, the compute does not fuse).
+
+    All cameras must share width/height/focal/skew; poses may vary.
+    """
+    cfg = config or DEFAULT_CONFIG
+    background = cfg.background if background is None else background
+    feathering = cfg.feathering if feathering is None else feathering
+    to_srgb = cfg.to_srgb if to_srgb is None else to_srgb
+    chunk = cfg.sweep_chunk if chunk is None else chunk
+    refine = cfg.march_refine if refine is None else refine
+    if len(cameras) == 0:
+        raise ValueError("render_fast_batch needs at least one camera")
+    cam0 = cameras[0]
+    for cam in cameras[1:]:
+        if (
+            cam.width != cam0.width
+            or cam.height != cam0.height
+            or abs(float(cam.focal_px) - float(cam0.focal_px)) > 1e-6
+            or not np.allclose(np.asarray(cam.skew), np.asarray(cam0.skew))
+        ):
+            raise ValueError(
+                "render_fast_batch cameras must share intrinsics "
+                "(width/height/focal/skew)"
+            )
+
+    pos_list, rot_list = [], []
+    for cam in cameras:
+        pos_np, rot_np = relative_view_pose(
+            np.asarray(projector.position, np.float64),
+            np.asarray(projector.rotation, np.float64),
+            np.asarray(cam.position, np.float64),
+            np.asarray(cam.rotation, np.float64),
+        )
+        pos_list.append(pos_np)
+        rot_list.append(rot_np)
+    pos_b = np.stack(pos_list)  # (B, 3)
+    rot_b = np.stack(rot_list)  # (B, 3, 3)
+    rotated = not np.allclose(rot_b, np.eye(3), atol=1e-5)
+    lateral = (
+        not rotated
+        and np.abs(pos_b[:, 1]).max() < 1e-9
+        and np.abs(pos_b[:, 2]).max() < 1e-9
+    )
+    if mask_mode is None:
+        mask_mode = "multiply" if projector.num_layers > 1 else "none"
+    marching = method != "sweep" and lateral
+    if num_planes is None:
+        num_planes = cfg.march_planes if marching else cfg.sweep_planes
+    prepared = _prepared_fast(
+        projector, num_planes,
+        plane_mode=cfg.plane_mode if marching else "hybrid",
+    )
+    if not prepared["skew_ok"] or float(np.abs(np.asarray(cam0.skew)).sum()) > 1e-9:
+        raise ValueError("render_fast_batch does not support skewed frustums")
+    f2_host = float(cam0.focal_px)
+
+    use_march = []
+    plans = []
+    max_cx = float(np.abs(pos_b[:, 0]).max())
+    for lay in prepared["layers"]:
+        m = (
+            method in ("march", "auto")
+            and lateral
+            and abs(lay["focal_host"] - f2_host) < 1e-6 * f2_host
+            and lay["w"] == cam0.width
+            and lay["h"] == cam0.height
+        )
+        if method == "march" and not m:
+            raise ValueError(
+                "method='march' needs lateral poses (no rotation/skew, "
+                "x-only translation, matched focal, output dims == layer "
+                "dims); use method='auto' to fall back automatically"
+            )
+        if m:
+            max_shift = min(
+                lay["focal_host"] * max_cx * lay["izmin_host"],
+                float(lay["w"] + cam0.width),
+            )
+            plans.append(
+                _sweep_march.translation_plan(
+                    lay["w"], lay["h"], cam0.width, cam0.height,
+                    max_shift, 0.0,
+                )
+            )
+        else:
+            plans.append(None)
+        use_march.append(m)
+
+    core = _fast_batch_core_jit(
+        plans=tuple(plans),
+        use_march=tuple(use_march),
+        rotated=rotated,
+        refine=refine,
+        batch=len(cameras),
+        num_planes=num_planes,
+        chunk=chunk,
+        feathering=float(feathering),
+        mask_mode=mask_mode,
+        exact_color=exact_color,
+        to_srgb=to_srgb,
+        out_w=cam0.width,
+        out_h=cam0.height,
+    )
+    layer_args = tuple(
+        dict(
+            rgb=lay["rgb"], disp=lay["disp"], mask=lay["mask"],
+            focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
+            plane_invz=lay["plane_invz"],
+        )
+        for lay in prepared["layers"]
+    )
+    return core(
+        layer_args,
+        jnp.asarray(pos_b, jnp.float32),
+        jnp.asarray(rot_b, jnp.float32),
+        jnp.float32(f2_host),
+        jnp.asarray(background, jnp.float32),
+    )
+
+
+_FAST_BATCH_CORE_CACHE: dict = {}
+
+
+def _fast_batch_core_jit(**statics):
+    key = tuple(sorted(statics.items()))
+    fn = _FAST_BATCH_CORE_CACHE.get(key)
+    if fn is None:
+        import functools
+
+        fn = jax.jit(functools.partial(_fast_batch_core, **statics))
+        _FAST_BATCH_CORE_CACHE[key] = fn
+    return fn
+
+
+def _fast_batch_core(
+    layers,
+    c1_b,  # (B, 3)
+    rot_b,  # (B, 3, 3)
+    f2,
+    background,
+    *,
+    plans,
+    use_march,
+    rotated,
+    refine,
+    batch,
+    num_planes,
+    chunk,
+    feathering,
+    mask_mode,
+    exact_color,
+    to_srgb,
+    out_w,
+    out_h,
+):
+    """Traced body of render_fast_batch: per-layer batched kernels +
+    front-to-back LDI compositing over the batch axis."""
+    zero_bg = jnp.zeros(4, jnp.float32)
+    result_rgb = None
+    result_a = None
+    for lay, plan, m in zip(layers, plans, use_march):
+        if m:
+            layer = _sweep_march.render_translation_batch(
+                lay["rgb"], lay["disp"], lay["mask"],
+                lay["izmin"], lay["izmax"], c1_b, lay["focal"],
+                lay["plane_invz"], zero_bg,
+                plan=plan, num_planes=num_planes, refine=refine,
+                feathering=feathering, mask_mode=mask_mode, to_srgb=False,
+            )  # (B, H, W, 4)
+        else:
+            frames = []
+            common = dict(
+                out_w=out_w,
+                out_h=out_h,
+                focal1=lay["focal"],
+                num_planes=num_planes,
+                chunk=chunk,
+                feathering=feathering,
+                to_srgb=False,
+                plane_invz=lay["plane_invz"],
+            )
+            for b in range(batch):
+                if rotated:
+                    frames.append(_sweep_fast.render_rotated(
+                        lay["rgb"], lay["disp"], lay["mask"],
+                        lay["izmin"], lay["izmax"], c1_b[b], rot_b[b], f2,
+                        zero_bg, **common,
+                    ))
+                else:
+                    frames.append(_sweep_fast.render_sweep_aligned(
+                        lay["rgb"], lay["disp"], lay["mask"],
+                        lay["izmin"], lay["izmax"], c1_b[b], f2, zero_bg,
+                        **common, exact_color=exact_color,
+                    ))
+            layer = jnp.stack(frames)
+        la = layer[..., 3]
+        if result_rgb is None:
+            result_rgb = layer[..., :3]
+            result_a = la
+        else:
+            result_rgb = result_rgb + (1.0 - result_a[..., None]) * layer[..., :3]
+            result_a = result_a + (1.0 - result_a) * la
+    bg = background
+    out_rgb = bg[:3] * bg[3] * (1.0 - result_a[..., None]) + result_rgb
+    out_a = bg[3] + result_a * (1.0 - bg[3])
+    if to_srgb:
+        from ..core.color import linear_to_srgb
+
+        out_rgb = linear_to_srgb(out_rgb)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+
+
+def render_stereo_fast_batch(
+    left: Projector,
+    right: Projector,
+    cameras: Sequence[Camera],
+    background=None,
+    feathering: float | None = None,
+    to_srgb: bool | None = None,
+    num_planes: int | None = None,
+    refine: int | None = None,
+    config: RenderConfig | None = None,
+):
+    """Fast two-view (stereo) blended rendering for a batch of cameras in
+    ONE device dispatch. Returns (B, H, W, 4).
+
+    The actual stereo kernel semantics — per-layer raycast of BOTH views,
+    baseline-projection view weight, sequential occlusion fill, weighted
+    blend, front-to-back LDI compositing (reference:
+    rayCastStereoLDI.glsl:165-170, 368-436) — on top of the Pallas
+    first-crossing march instead of the gather-bound per-pixel march.
+
+    Requires lateral relative poses for BOTH projectors (no rotation/skew,
+    translation along x, matched focal, output dims == layer dims): the
+    standard stereo-rig workload where the render camera slides along the
+    baseline. Use render_stereo_view for arbitrary poses.
+    """
+    cfg = config or DEFAULT_CONFIG
+    background = cfg.background if background is None else background
+    feathering = cfg.feathering if feathering is None else feathering
+    to_srgb = cfg.to_srgb if to_srgb is None else to_srgb
+    refine = cfg.march_refine if refine is None else refine
+    num_planes = cfg.march_planes if num_planes is None else num_planes
+    if len(cameras) == 0:
+        raise ValueError("render_stereo_fast_batch needs at least one camera")
+    cam0 = cameras[0]
+    f2_host = float(cam0.focal_px)
+
+    def _poses(projector):
+        pos_list = []
+        for cam in cameras:
+            pos_np, rot_np = relative_view_pose(
+                np.asarray(projector.position, np.float64),
+                np.asarray(projector.rotation, np.float64),
+                np.asarray(cam.position, np.float64),
+                np.asarray(cam.rotation, np.float64),
+            )
+            if not np.allclose(rot_np, np.eye(3), atol=1e-5):
+                raise ValueError(
+                    "render_stereo_fast needs rotation-free poses; use "
+                    "render_stereo_view for arbitrary camera rotations"
+                )
+            if abs(pos_np[1]) > 1e-9 or abs(pos_np[2]) > 1e-9:
+                raise ValueError(
+                    "render_stereo_fast needs lateral (x-only) translation; "
+                    "use render_stereo_view for arbitrary camera positions"
+                )
+            pos_list.append(pos_np)
+        return np.stack(pos_list)
+
+    pos_l = _poses(left)
+    pos_r = _poses(right)
+    num_layers = min(left.num_layers, right.num_layers)
+    prep_l = _prepared_fast(left, num_planes, plane_mode=cfg.plane_mode)
+    prep_r = _prepared_fast(right, num_planes, plane_mode=cfg.plane_mode)
+    if not (prep_l["skew_ok"] and prep_r["skew_ok"]) or (
+        float(np.abs(np.asarray(cam0.skew)).sum()) > 1e-9
+    ):
+        raise ValueError("render_stereo_fast does not support skewed frustums")
+    # stereo mask semantics: dilated hard discard when LDI masks exist
+    # (rayCastStereoLDI.glsl:304-305); taper-only for maskless projectors
+    mask_mode = "hard" if num_layers > 1 else "none"
+
+    def _plans(prep, pos_b):
+        plans = []
+        max_cx = float(np.abs(pos_b[:, 0]).max())
+        for lay in prep["layers"][:num_layers]:
+            if (
+                abs(lay["focal_host"] - f2_host) > 1e-6 * f2_host
+                or lay["w"] != cam0.width
+                or lay["h"] != cam0.height
+            ):
+                raise ValueError(
+                    "render_stereo_fast needs matched focal and dims per "
+                    "layer; use render_stereo_view otherwise"
+                )
+            max_shift = min(
+                lay["focal_host"] * max_cx * lay["izmin_host"],
+                float(lay["w"] + cam0.width),
+            )
+            plans.append(
+                _sweep_march.translation_plan(
+                    lay["w"], lay["h"], cam0.width, cam0.height, max_shift, 0.0
+                )
+            )
+        return tuple(plans)
+
+    core = _stereo_fast_core_jit(
+        plans_l=_plans(prep_l, pos_l),
+        plans_r=_plans(prep_r, pos_r),
+        num_layers=num_layers,
+        num_planes=num_planes,
+        refine=refine,
+        feathering=float(feathering),
+        mask_mode=mask_mode,
+        to_srgb=to_srgb,
+    )
+
+    def _args(prep):
+        return tuple(
+            dict(
+                rgb=lay["rgb"], disp=lay["disp"],
+                mask=lay["mask_eroded"] if mask_mode == "hard" else lay["mask"],
+                focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
+                plane_invz=lay["plane_invz"],
+            )
+            for lay in prep["layers"][:num_layers]
+        )
+
+    return core(
+        _args(prep_l),
+        _args(prep_r),
+        jnp.asarray(pos_l, jnp.float32),
+        jnp.asarray(pos_r, jnp.float32),
+        jnp.asarray(background, jnp.float32),
+    )
+
+
+def render_stereo_fast(left: Projector, right: Projector, camera: Camera, **kw):
+    """Single-pose fast stereo: a batch of 1 (see render_stereo_fast_batch)."""
+    return render_stereo_fast_batch(left, right, [camera], **kw)[0]
+
+
+_STEREO_FAST_CORE_CACHE: dict = {}
+
+
+def _stereo_fast_core_jit(**statics):
+    key = tuple(sorted(statics.items()))
+    fn = _STEREO_FAST_CORE_CACHE.get(key)
+    if fn is None:
+        import functools
+
+        fn = jax.jit(functools.partial(_stereo_fast_core, **statics))
+        _STEREO_FAST_CORE_CACHE[key] = fn
+    return fn
+
+
+def _stereo_fast_core(
+    layers_l,
+    layers_r,
+    c1l_b,  # (B, 3)
+    c1r_b,  # (B, 3)
+    background,
+    *,
+    plans_l,
+    plans_r,
+    num_layers,
+    num_planes,
+    refine,
+    feathering,
+    mask_mode,
+    to_srgb,
+):
+    """Traced body of render_stereo_fast_batch: per-view batched march
+    (raw outputs), occlusion fill + view-weight blend per layer
+    (ops/stereo semantics), LDI compositing, background, gamma."""
+    from ..ops.stereo import view_weight
+
+    zero_bg = jnp.zeros(4, jnp.float32)
+    # per-pose blend weight: render camera at the origin of its own frame
+    w_r = jax.vmap(
+        lambda cl, cr: view_weight(jnp.zeros(3, jnp.float32), cl, cr)
+    )(c1l_b, c1r_b)  # (B,)
+    w_r4 = w_r[:, None, None, None]
+
+    result_rgb = None
+    result_a = None
+    for i in range(num_layers):
+        ll, lr = layers_l[i], layers_r[i]
+        rgba_l, a_l, hit_l = _sweep_march.render_translation_batch(
+            ll["rgb"], ll["disp"], ll["mask"], ll["izmin"], ll["izmax"],
+            c1l_b, ll["focal"], ll["plane_invz"], zero_bg,
+            plan=plans_l[i], num_planes=num_planes, refine=refine,
+            feathering=feathering, mask_mode=mask_mode, to_srgb=False,
+            raw=True,
+        )
+        rgba_r, a_r, hit_r = _sweep_march.render_translation_batch(
+            lr["rgb"], lr["disp"], lr["mask"], lr["izmin"], lr["izmax"],
+            c1r_b, lr["focal"], lr["plane_invz"], zero_bg,
+            plan=plans_r[i], num_planes=num_planes, refine=refine,
+            feathering=feathering, mask_mode=mask_mode, to_srgb=False,
+            raw=True,
+        )
+        lA = jnp.concatenate([rgba_l[..., :3], a_l[..., None]], axis=-1)
+        rA = jnp.concatenate([rgba_r[..., :3], a_r[..., None]], axis=-1)
+        # Occlusion fill, sequential like the GLSL (:372-381): the R test
+        # reads the possibly-already-filled L layer.
+        fill_l = ((hit_l == 0.0) & (hit_r == 1.0)) | (a_l < a_r - 0.1)
+        l2 = jnp.where(fill_l[..., None], rA, lA)
+        fill_r = ((hit_r == 0.0) & (hit_l == 1.0)) | (
+            rA[..., 3] < l2[..., 3] - 0.1
+        )
+        r2 = jnp.where(fill_r[..., None], l2, rA)
+        layer = (1.0 - w_r4) * l2 + w_r4 * r2
+        la = layer[..., 3]
+        if result_rgb is None:
+            result_rgb = layer[..., :3] * la[..., None]
+            result_a = la
+        else:
+            result_rgb = result_rgb + (1.0 - result_a[..., None]) * la[
+                ..., None
+            ] * layer[..., :3]
+            result_a = la + result_a * (1.0 - la)
+
+    bg = background
+    out_rgb = bg[:3] * bg[3] * (1.0 - result_a[..., None]) + result_rgb
+    out_a = bg[3] + result_a * (1.0 - bg[3])
+    if to_srgb:
+        from ..core.color import linear_to_srgb
+
+        out_rgb = linear_to_srgb(out_rgb)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
 
 
 # One compiled executable per static configuration: everything inside —
@@ -369,6 +901,7 @@ def _fast_core(
     plans,
     use_march,
     rotated,
+    refine,
     num_planes,
     chunk,
     feathering,
@@ -389,7 +922,7 @@ def _fast_core(
                 lay["rgb"], lay["disp"], lay["mask"],
                 lay["izmin"], lay["izmax"], c1, lay["focal"],
                 lay["plane_invz"], zero_bg,
-                plan=plan, num_planes=num_planes,
+                plan=plan, num_planes=num_planes, refine=refine,
                 feathering=feathering, mask_mode=mask_mode, to_srgb=False,
             )
         else:
@@ -458,6 +991,10 @@ def render(
         if len(plist) < 2:
             raise ValueError("stereo mode needs two projectors")
         return render_stereo_view(plist[0], plist[1], camera, **kwargs)
+    if mode == "stereo_fast":
+        if len(plist) < 2:
+            raise ValueError("stereo_fast mode needs two projectors")
+        return render_stereo_fast(plist[0], plist[1], camera, **kwargs)
     if mode == "mesh":
         from ..ops import splat as _splat
 

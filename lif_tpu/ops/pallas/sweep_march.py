@@ -28,9 +28,32 @@ Mosaic constraints that shaped the layout (all discovered the hard way):
   * the fractional part of the shift folds into the same switch branch as
     the bilinear lerp (one multiply-add per tap).
 
-Grid: (x-bands, y-chunks). Each program DMAs its (5, bw, 128) source
-window (rgb+mask+disp, edge-padded in x, covering every plane's shift via
-the static margin) into VMEM once, then loops the K planes.
+Work-avoidance structure (each refinement measured on the SFMoMA scene):
+  * Pass 1 sweeps DISPARITY ONLY in texel space (the secant ratio
+    t = pd/(pd - d) is invariant to the affine invz decode, so the decode
+    never happens in the hot loop) and records per pixel the crossing
+    plane k* and the bracketing diffs. Pass 2 computes color lerps only
+    for planes where pass 1 counted a crossing.
+  * A per-plane skip test reads ONE precomputed scalar: cm3[co, c] =
+    max of the source disparity over the 10-coarse-cell window that
+    plane's slice can touch (8-px cells, sliding max built by XLA outside
+    the kernel). If that max cannot exceed the plane's texel threshold,
+    no pixel in this tile crosses here and the plane costs ~a dozen
+    scalar cycles instead of the full vector warp. The test is
+    conservative (a max bound), so no crossing is ever missed.
+  * Skipped planes leave the secant bracket stale, so the first active
+    plane after a skip run re-warps its predecessor to refresh pd —
+    results stay ARITHMETICALLY IDENTICAL to the dense XLA oracle.
+
+Grid: (x-bands, y-chunks, poses). Each (band, chunk) program DMAs its
+(5, bw, 128) source window (rgb+mask+disp, edge-padded in x, covering
+every plane's shift via the static margin) into VMEM once — the pose axis
+iterates innermost over the SAME resident window (TPU grids run
+sequentially and scratch persists), so a whole batch of novel views costs
+one source read plus one output write per view. Batching poses into one
+launch is also what amortizes the host->device dispatch latency (~9 ms
+through the axon tunnel, docs/TPU_NOTES.md) that would otherwise dominate
+at these frame times.
 """
 
 from __future__ import annotations
@@ -44,7 +67,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..sweep_march import TranslationPlan, _finalize, plane_tables
 
-__all__ = ["render_lateral_pallas"]
+__all__ = ["render_translation_pallas", "render_translation_batch_pallas"]
+
+_COARSE = 8  # coarse skip-table cell width, px (one sublane group)
 
 
 def _round_up(n: int, q: int) -> int:
@@ -52,22 +77,30 @@ def _round_up(n: int, q: int) -> int:
 
 
 def _pick_tw(w: int) -> int:
-    for tw in (64, 32, 16, 8):
+    # widest band that divides the output: more sublanes per vector op
+    # amortize the per-plane scalar work (SMEM loads, branches) better
+    for tw in (128, 64, 32, 16, 8):
         if w % tw == 0:
             return tw
     raise ValueError(f"output width {w} must be divisible by 8")
 
 
 def _kernel(
-    ixs,  # (K,) i32 scalar prefetch: per-plane integer x-shifts (padded)
-    fxs,  # (K,) f32: bilinear fractions
+    ixs,  # (B, K) i32 scalar prefetch: per-pose per-plane x-shifts (padded)
+    fxs,  # (B, K) f32: bilinear fractions
     izt,  # (K,) f32: plane inverse depths, near -> far
-    params,  # (2,) f32: [invz_min, invz_max] disparity decode
+    tkt,  # (K,) f32: plane thresholds in TEXEL units
+    cm3,  # (Wp/8, Hc) f32: sliding window max of coarse disp (skip table)
     src_hbm,  # (5, Wp, Hp) f32 ANY: r, g, b, mask, disp — TRANSPOSED
-    out_ref,  # (6, tw, lc) VMEM out block
+    out_ref,  # (1, 6, tw, lc) VMEM out block (pose-major)
     blk,  # (5, bw, lc) f32 VMEM scratch: this tile's source window
-    pdiff,  # (tw, lc) f32 scratch: secant bracket state
-    prgba,  # (4, tw, lc) f32 scratch
+    pdiff,  # (tw, lc) f32 scratch: secant bracket state (texel units)
+    kstar,  # (tw, lc) f32 scratch: crossing plane index (-1 = none yet)
+    pdiffc,  # (tw, lc) f32 scratch: bracket diffs frozen at the crossing
+    diffc,  # (tw, lc) f32 scratch
+    prgba,  # (4, tw, lc) f32 scratch: previous flagged plane's color warp
+    crossflag,  # (K,) f32 SMEM scratch: per-plane crossed-pixel counts
+    lastk,  # (1, 1) i32 SMEM scratch: last plane whose warp is in pdiff
     nfound,  # (1, 1) f32 SMEM scratch: crossed-pixel count
     sem,
     *,
@@ -75,155 +108,271 @@ def _kernel(
     bw: int,
     lc: int,
     num_planes: int,
+    refine: int,
 ):
     b = pl.program_id(0)
     c = pl.program_id(1)
+    p = pl.program_id(2)
     cp = pltpu.make_async_copy(
         src_hbm.at[:, pl.ds(b * tw, bw), pl.ds(c * lc, lc)], blk, sem
     )
-    cp.start()
 
-    izmin = params[0]
-    izmax = params[1]
-    out_ref[:] = jnp.zeros((6, tw, lc), jnp.float32)
+    # the source window depends on (band, chunk) only; the pose axis is
+    # innermost, so the window DMA'd at pose 0 stays resident (scratch
+    # persists across TPU grid steps) and serves the whole batch
+    @pl.when(p == 0)
+    def _():
+        cp.start()
+
+    out_ref[:] = jnp.zeros((1, 6, tw, lc), jnp.float32)
     pdiff[:] = jnp.zeros((tw, lc), jnp.float32)
-    prgba[:] = jnp.zeros((4, tw, lc), jnp.float32)
+    kstar[:] = jnp.full((tw, lc), -1.0, jnp.float32)
+    pdiffc[:] = jnp.zeros((tw, lc), jnp.float32)
+    diffc[:] = jnp.full((tw, lc), -1.0, jnp.float32)
+    lastk[0, 0] = -1
     nfound[0, 0] = 0.0
-    cp.wait()
 
-    # data-dependent plane skipping: planes nearer than everything in this
-    # tile's source window can never cross (front skip), and once every
-    # pixel has crossed, the remaining planes are irrelevant (tail exit).
-    # With quantile-placed planes most tiles touch a narrow plane band.
-    # State lives in scratch refs so a skipped plane does NO vector work
-    # (a functional lax.cond would copy the carries in the skip branch).
-    dmax = jnp.max(blk[4]) * (izmin - izmax) + izmax
+    @pl.when(p == 0)
+    def _():
+        cp.wait()
 
-    def body(k, _):
-        # one plane of lead-in before the first potentially-crossing plane
-        # keeps pdiff/prgba (the secant bracket) valid at the activation
-        # boundary: planes are descending, so izt[k+1] <= dmax activates
-        # exactly one plane earlier than izt[k] <= dmax
+    def _warp_of(chans, o, fx):
+        """Shifted + bilinearly-lerped source channels at integer shift o
+        plus fraction fx. chans: static (lo, hi) channel slice."""
+        o8 = pl.multiple_of((o // 8) * 8, 8)
+        r = o - o8
+        lo, hi = chans
+        win = blk[lo:hi, pl.ds(o8, tw + 16), :]  # (hi-lo, tw+16, lc) value
+
+        def shifted(rr):
+            # residual integer shift + fractional lerp, fused per branch
+            return lambda: (
+                win[:, rr : rr + tw, :] * (1.0 - fx)
+                + win[:, rr + 1 : rr + tw + 1, :] * fx
+            )
+
+        return jax.lax.switch(r, [shifted(rr) for rr in range(8)])
+
+    def _warp(chans, k_idx):
+        return _warp_of(chans, ixs[p, k_idx], fxs[p, k_idx])
+
+    def pass1(k, _):
+        crossflag[k] = 0.0
+        # skip test: the precomputed sliding max over every source texel
+        # this plane's slice can touch, vs the plane's texel threshold.
+        # One scalar load + compare; conservative, so never misses a
+        # crossing. The tail test stops once every pixel has crossed.
+        co = b * (tw // _COARSE) + ixs[p, k] // _COARSE
         active = jnp.logical_and(
-            izt[jnp.minimum(k + 1, num_planes - 1)] <= dmax,
-            nfound[0, 0] < float(tw * lc),
+            cm3[co, c] > tkt[k], nfound[0, 0] < float(tw * lc)
         )
 
         @pl.when(active)
         def _():
-            o = ixs[k]
-            fx = fxs[k]
-            izk = izt[k]
-            o8 = pl.multiple_of((o // 8) * 8, 8)
-            r = o - o8
-            win = blk[:, pl.ds(o8, tw + 16), :]  # (5, tw+16, lc) value
+            # refresh the secant bracket if the previous plane was skipped
+            # (keeps results identical to the dense oracle: pd must hold
+            # plane k-1's diff at the moment a crossing is interpolated)
+            @pl.when(jnp.logical_and(lastk[0, 0] != k - 1, k > 0))
+            def _():
+                pdiff[:] = _warp((4, 5), k - 1)[0] - tkt[k - 1]
 
-            def shifted(rr):
-                # residual integer shift + fractional lerp, fused per branch
-                return lambda: (
-                    win[:, rr : rr + tw, :] * (1.0 - fx)
-                    + win[:, rr + 1 : rr + tw + 1, :] * fx
-                )
-
-            tex5 = jax.lax.switch(r, [shifted(rr) for rr in range(8)])
-
-            d = tex5[4] * (izmin - izmax) + izmax
-            diff = d - izk
-            found = out_ref[5]
-            crossed = jnp.logical_and(found < 0.5, diff > 0.0)
-
-            prev_iz = izt[jnp.maximum(k - 1, 0)]
-            t = jnp.clip(
-                pdiff[:] / jnp.minimum(pdiff[:] - diff, -1e-12), 0.0, 1.0
-            )
-            t = jnp.where(k == 0, jnp.ones_like(t), t)
-            iz_c = prev_iz + t * (izk - prev_iz)
-            out_ref[4] = jnp.where(crossed, iz_c, out_ref[4])
-
-            rgba = tex5[0:4]
-            rgba_c = prgba[:] + t[None] * (rgba - prgba[:])
-            out_ref[0:4] = jnp.where(crossed[None], rgba_c, out_ref[0:4])
-
-            nfound[0, 0] = nfound[0, 0] + jnp.sum(crossed.astype(jnp.float32))
-            out_ref[5] = jnp.maximum(found, crossed.astype(jnp.float32))
+            tex = _warp((4, 5), k)[0]
+            diff = tex - tkt[k]
+            crossed = jnp.logical_and(kstar[:] < -0.5, diff > 0.0)
+            cnt = jnp.sum(crossed.astype(jnp.float32))
+            kstar[:] = jnp.where(crossed, jnp.float32(k), kstar[:])
+            pdiffc[:] = jnp.where(crossed, pdiff[:], pdiffc[:])
+            diffc[:] = jnp.where(crossed, diff, diffc[:])
+            crossflag[k] = cnt
+            nfound[0, 0] = nfound[0, 0] + cnt
             pdiff[:] = diff
-            prgba[:] = rgba
+            lastk[0, 0] = k
 
         return 0
 
-    jax.lax.fori_loop(0, num_planes, body, 0)
+    jax.lax.fori_loop(0, num_planes, pass1, 0)
+
+    # per-pixel secant parameter from the frozen bracket (one divide total,
+    # not one per plane). The texel-space diffs give the same ratio as the
+    # invz-space diffs (the affine decode cancels); k* == 0 snaps to the
+    # first plane (t = 1), mirroring the oracle's k == 0 rule.
+    t = jnp.clip(
+        pdiffc[:] / jnp.minimum(pdiffc[:] - diffc[:], -1e-12), 0.0, 1.0
+    )
+    t = jnp.where(kstar[:] == 0.0, jnp.ones_like(t), t)
+    out_ref[0, 5] = (kstar[:] > -0.5).astype(jnp.float32)
+    lastk[0, 0] = -5
+
+    def pass2(k, _):
+        @pl.when(crossflag[k] > 0.0)
+        def _():
+            sel = kstar[:] == jnp.float32(k)
+            km1 = jnp.maximum(k - 1, 0)
+            izk = izt[k]
+            prev_iz = izt[km1]
+
+            if refine == 0:
+                s_star = t
+            else:
+                # mini-sweep of `refine` interior sub-planes inside the
+                # bracket: the per-plane shift is affine in invz, so
+                # sub-plane shifts/thresholds are exact lerps of the
+                # bracketing planes' — (refine+1)x the effective plane
+                # density, paid only at flagged planes
+                tx_k = ixs[p, k].astype(jnp.float32) + fxs[p, k]
+                tx_k1 = ixs[p, km1].astype(jnp.float32) + fxs[p, km1]
+                tk_k = tkt[k]
+                tk_k1 = tkt[km1]
+                step = 1.0 / (refine + 1)
+                slo = jnp.zeros((tw, lc), jnp.float32)
+                pd2 = pdiffc[:]
+                d2 = diffc[:]
+                sfound = jnp.zeros((tw, lc), bool)
+                prev_g = pdiffc[:]
+                prev_s = 0.0
+                for j in range(1, refine + 1):
+                    s = j * step
+                    tx_s = tx_k1 + s * (tx_k - tx_k1)
+                    o_s = jnp.floor(tx_s).astype(jnp.int32)
+                    fx_s = tx_s - o_s.astype(jnp.float32)
+                    g = _warp_of((4, 5), o_s, fx_s)[0] - (
+                        tk_k1 + s * (tk_k - tk_k1)
+                    )
+                    csub = jnp.logical_and(~sfound, g > 0.0)
+                    slo = jnp.where(csub, prev_s, slo)
+                    pd2 = jnp.where(csub, prev_g, pd2)
+                    d2 = jnp.where(csub, g, d2)
+                    sfound = jnp.logical_or(sfound, csub)
+                    prev_g = g
+                    prev_s = s
+                slo = jnp.where(sfound, slo, prev_s)
+                pd2 = jnp.where(sfound, pd2, prev_g)
+                t2 = jnp.clip(
+                    pd2 / jnp.minimum(pd2 - d2, -1e-12), 0.0, 1.0
+                )
+                s_star = slo + step * t2
+                s_star = jnp.where(
+                    kstar[:] == 0.0, jnp.ones_like(s_star), s_star
+                )
+
+            iz_c = prev_iz + s_star * (izk - prev_iz)
+            out_ref[0, 4] = jnp.where(sel, iz_c, out_ref[0, 4])
+
+            # consecutive flagged planes reuse the previous color warp
+            @pl.when(lastk[0, 0] != k - 1)
+            def _():
+                prgba[:] = _warp((0, 4), km1)
+
+            rgba = _warp((0, 4), k)
+            rgba_c = prgba[:] + s_star[None] * (rgba - prgba[:])
+            out_ref[0, 0:4] = jnp.where(sel[None], rgba_c, out_ref[0, 0:4])
+            prgba[:] = rgba
+            lastk[0, 0] = k
+
+        return 0
+
+    jax.lax.fori_loop(0, num_planes, pass2, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("plan", "num_planes", "interpret")
+    jax.jit, static_argnames=("plan", "num_planes", "batch", "refine", "interpret")
 )
 def _sweep_lateral(
     src_t,  # (5, Wp, Hp) f32 transposed padded stack
-    ix_t,
-    fx_t,
+    ix_t,  # (B, K) i32 per-pose plane shift tables
+    fx_t,  # (B, K) f32
     plane_invz,
     invz_min,
     invz_max,
     plan: TranslationPlan,
     num_planes: int,
+    batch: int,
+    refine: int = 0,
     interpret: bool = False,
 ):
     w, h = plan.out_w, plan.out_h
     tw = _pick_tw(w)
     lc = 128
-    bw = _round_up(plan.tab_span_x + tw + 16, 8)
+    bw = _round_up(plan.tab_span_x + tw + 16, 64)
     wp, hp = src_t.shape[1], src_t.shape[2]
     assert (w - tw) + bw <= wp, (plan, bw, wp)
     assert hp % lc == 0, hp
-    params = jnp.stack(
-        [jnp.asarray(invz_min, jnp.float32), jnp.asarray(invz_max, jnp.float32)]
-    )
+    izmin = jnp.asarray(invz_min, jnp.float32)
+    izmax = jnp.asarray(invz_max, jnp.float32)
+    izt = jnp.asarray(plane_invz, jnp.float32)
+    # plane thresholds in texel units: texel > tk  <=>  decoded d > izt
+    # (the decode texel*(izmin-izmax)+izmax is affine with positive slope)
+    tkt = (izt - izmax) / (izmin - izmax)
+
+    # skip table: coarse (8-px) per-cell max of disparity, then a sliding
+    # max over the 10 cells a (tw+17)-px slice can touch, per 128-lane
+    # y-chunk. cm3[co, c] bounds every texel _warp(k) can read when
+    # ixs[k] // 8 == co - b*(tw//8).
+    ncells = wp // _COARSE
+    cmax = src_t[4].reshape(ncells, _COARSE, hp // lc, lc).max(axis=(1, 3))
+    span = (tw + 16) // _COARSE + 1  # 10 cells for tw=64
+    padded = jnp.pad(cmax, ((0, span - 1), (0, 0)), mode="edge")
+    cm3 = jnp.stack(
+        [padded[i : i + ncells] for i in range(span)], axis=0
+    ).max(axis=0)  # (ncells, Hc)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(w // tw, hp // lc),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        num_scalar_prefetch=5,
+        grid=(w // tw, hp // lc, batch),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (6, tw, lc), lambda b, c, *_: (0, b, c), memory_space=pltpu.VMEM
+            (1, 6, tw, lc),
+            lambda b, c, p, *_: (p, 0, b, c),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((5, bw, lc), jnp.float32),
-            pltpu.VMEM((tw, lc), jnp.float32),
-            pltpu.VMEM((4, tw, lc), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((tw, lc), jnp.float32),  # pdiff
+            pltpu.VMEM((tw, lc), jnp.float32),  # kstar
+            pltpu.VMEM((tw, lc), jnp.float32),  # pdiffc
+            pltpu.VMEM((tw, lc), jnp.float32),  # diffc
+            pltpu.VMEM((4, tw, lc), jnp.float32),  # prgba
+            pltpu.SMEM((num_planes,), jnp.float32),  # crossflag
+            pltpu.SMEM((1, 1), jnp.int32),  # lastk
+            pltpu.SMEM((1, 1), jnp.float32),  # nfound
             pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = functools.partial(
-        _kernel, tw=tw, bw=bw, lc=lc, num_planes=num_planes
+        _kernel, tw=tw, bw=bw, lc=lc, num_planes=num_planes, refine=refine
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((6, w, hp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, 6, w, hp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        ix_t.astype(jnp.int32),
-        fx_t.astype(jnp.float32),
-        jnp.asarray(plane_invz, jnp.float32),
-        params,
+        ix_t.astype(jnp.int32).reshape(batch, num_planes),
+        fx_t.astype(jnp.float32).reshape(batch, num_planes),
+        izt,
+        tkt,
+        cm3,
         src_t,
     )
     # transpose back to image orientation and drop the lane padding
-    out = out[:, :, :h].transpose(0, 2, 1)  # (6, H, W)
-    return out[5], out[4], out[0:4].transpose(1, 2, 0)
+    out = out[:, :, :, :h].transpose(0, 1, 3, 2)  # (B, 6, H, W)
+    return out[:, 5], out[:, 4], out[:, 0:4].transpose(0, 2, 3, 1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "num_planes", "mask_mode", "to_srgb", "interpret"),
+    static_argnames=(
+        "plan", "num_planes", "mask_mode", "to_srgb", "refine", "raw",
+        "interpret",
+    ),
 )
-def render_translation_pallas(
+def render_translation_batch_pallas(
     rgb,
     disp,
     mask,
     invz_min,
     invz_max,
-    c1,
+    c1,  # (B, 3): per-pose projector position in the camera frame
     f1,
     plane_invz,
     background,
@@ -232,23 +381,30 @@ def render_translation_pallas(
     feathering: float = 0.1,
     mask_mode: str = "none",
     to_srgb: bool = True,
+    refine: int = 0,
+    raw: bool = False,
     interpret: bool = False,
 ):
-    """Drop-in equivalent of sweep_march.render_translation_xla on TPU for
-    the LATERAL case: c1 = [cx, 0, 0], out dims == src dims, f1 == f2.
-    The caller (models/renderer) guarantees the reduction."""
+    """Batched equivalent of sweep_march.render_translation_xla on TPU for
+    the LATERAL case: c1[i] = [cx_i, 0, 0], out dims == src dims, f1 == f2.
+    The caller (models/renderer) guarantees the reduction. Returns
+    (B, H, W, 4); the whole batch is ONE kernel launch sharing one source
+    read per tile."""
     h, w = disp.shape
     assert plan.out_w == w and plan.out_h == h, (plan, disp.shape)
     izmin = jnp.asarray(invz_min, jnp.float32)
     izmax = jnp.asarray(invz_max, jnp.float32)
     invz = jnp.asarray(plane_invz, jnp.float32)
     c1 = jnp.asarray(c1, jnp.float32)
-    ix_t, fx_t, _, _ = plane_tables(plan, invz, c1, f1)
+    batch = c1.shape[0]
+    ix_t, fx_t, _, _ = jax.vmap(
+        lambda cc: plane_tables(plan, invz, cc, f1)
+    )(c1)
 
     # transposed (channels, x, y) stack; x edge-padded for the shift range,
     # y padded to the 128-lane grid (values there never reach the output)
     tw = _pick_tw(w)
-    bw = _round_up(plan.tab_span_x + tw + 16, 8)
+    bw = _round_up(plan.tab_span_x + tw + 16, 64)
     pad_hi_x = max(0, (w - tw) + bw - w - plan.pad_lo_x)
     hp = _round_up(h, 128)
     rgbm = jnp.concatenate(
@@ -265,9 +421,44 @@ def render_translation_pallas(
     )
     found, rstar, rgba_star = _sweep_lateral(
         src_t, ix_t, fx_t, invz, izmin, izmax,
-        plan=plan, num_planes=num_planes, interpret=interpret,
+        plan=plan, num_planes=num_planes, batch=batch, refine=refine,
+        interpret=interpret,
     )
-    return _finalize(
-        plan, found, rstar, rgba_star, c1, f1, izmin, background,
-        feathering, mask_mode, to_srgb,
+    return jax.vmap(
+        lambda f, r, rg, cc: _finalize(
+            plan, f, r, rg, cc, f1, izmin, background,
+            feathering, mask_mode, to_srgb, raw=raw,
+        )
+    )(found, rstar, rgba_star, c1)
+
+
+def render_translation_pallas(
+    rgb,
+    disp,
+    mask,
+    invz_min,
+    invz_max,
+    c1,  # (3,)
+    f1,
+    plane_invz,
+    background,
+    plan: TranslationPlan,
+    num_planes: int,
+    feathering: float = 0.1,
+    mask_mode: str = "none",
+    to_srgb: bool = True,
+    refine: int = 0,
+    raw: bool = False,
+    interpret: bool = False,
+):
+    """Single-pose wrapper: a batch of 1 through the batched kernel."""
+    out = render_translation_batch_pallas(
+        rgb, disp, mask, invz_min, invz_max,
+        jnp.asarray(c1, jnp.float32)[None], f1, plane_invz, background,
+        plan=plan, num_planes=num_planes, feathering=feathering,
+        mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
+        interpret=interpret,
     )
+    if raw:
+        return out[0][0], out[1][0], out[2][0]
+    return out[0]

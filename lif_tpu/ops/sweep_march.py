@@ -53,6 +53,7 @@ __all__ = [
     "translation_plan",
     "plane_tables",
     "render_translation",
+    "render_translation_batch",
     "render_translation_xla",
 ]
 
@@ -174,23 +175,28 @@ def _smoothstep(e0, e1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
-def _finalize(
+def hit_and_alpha(
     plan: TranslationPlan,
     found,
     invz_star,
     rgba_star,
     c1,
     f1,
-    invz_min,
-    background,
     feathering: float,
     mask_mode: str,
-    to_srgb: bool,
 ):
-    """Hit validity, taper, mask, premultiply, background blend.
+    """Hit validity + composite alpha for the solved surface.
 
     Mirrors raycast_layer's hit handling (ops/raycast.py:221-276) for the
-    aligned case: the final source position follows from invz*.
+    aligned case: the final source position follows from invz*. Returns
+    (hit, alpha): hit = found x inside (the stereo occlusion-fill tests
+    read this, ops/stereo.py), alpha = hit x taper x mask.
+
+    mask_mode: 'multiply' (mono LDI, rayCastMonoLDI.glsl:291), 'none'
+    (taper only), or 'hard' — a >= 0.5 threshold on the warped mask
+    channel; with a pre-eroded mask (erode_mask_for_stereo) this
+    reproduces the stereo shader's dilated isMaskAround discard
+    (rayCastStereoLDI.glsl:147-158, 304-305).
     """
     c1 = jnp.asarray(c1, jnp.float32)
     f1 = jnp.asarray(f1, jnp.float32)
@@ -210,11 +216,67 @@ def _finalize(
         _smoothstep(0.0, f, u1) * (1.0 - _smoothstep(1.0 - f, 1.0, u1))
         * _smoothstep(0.0, f, v1) * (1.0 - _smoothstep(1.0 - f, 1.0, v1))
     )
-    alpha = found * inside * tap
+    hit = found * inside
+    alpha = hit * tap
     if mask_mode == "multiply":
         alpha = alpha * jnp.clip(rgba_star[..., 3], 0.0, 1.0)
+    elif mask_mode == "hard":
+        alpha = alpha * (rgba_star[..., 3] >= 0.5).astype(jnp.float32)
+        hit = hit * (rgba_star[..., 3] >= 0.5).astype(jnp.float32)
     elif mask_mode != "none":
         raise ValueError(f"unsupported mask_mode: {mask_mode}")
+    return hit, alpha
+
+
+def erode_mask_for_stereo(mask):
+    """Precompute the stereo discard mask: min over the 9 bilinear samples
+    at +-1.5-texel offsets (isMaskAround, rayCastStereoLDI.glsl:147-158).
+    A bilinear sample at +-1.5 texels is the mean of the texels at 1 and 2;
+    warping the eroded map and hard-thresholding at 0.5 then reproduces
+    the shader's any-sample-below-0.5 discard (exact on binary masks away
+    from the 1-texel bleed band)."""
+    m = jnp.asarray(mask, jnp.float32)
+
+    def shift(a, dy, dx):
+        return jnp.roll(a, (dy, dx), axis=(0, 1))
+
+    def sample(dy, dx):
+        # bilinear at offset 1.5*d: mean of the texels at d and 2d
+        if dy == 0 and dx == 0:
+            return m
+        return 0.5 * (shift(m, dy, dx) + shift(m, 2 * dy, 2 * dx))
+
+    out = m
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            out = jnp.minimum(out, sample(dy, dx))
+    return out
+
+
+def _finalize(
+    plan: TranslationPlan,
+    found,
+    invz_star,
+    rgba_star,
+    c1,
+    f1,
+    invz_min,
+    background,
+    feathering: float,
+    mask_mode: str,
+    to_srgb: bool,
+    raw: bool = False,
+):
+    """Hit validity, taper, mask, premultiply, background blend.
+
+    raw=True skips the premultiply/background/gamma stages and returns
+    (rgba_star, alpha, hit) — the stereo blend lattice consumes these
+    per view before compositing (ops/stereo semantics)."""
+    hit, alpha = hit_and_alpha(
+        plan, found, invz_star, rgba_star, c1, f1, feathering, mask_mode
+    )
+    if raw:
+        return rgba_star, alpha, hit
 
     background = jnp.asarray(background, jnp.float32)
     acc_rgb = rgba_star[..., :3] * alpha[..., None]
@@ -227,7 +289,9 @@ def _finalize(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "num_planes", "mask_mode", "to_srgb"),
+    static_argnames=(
+        "plan", "num_planes", "mask_mode", "to_srgb", "refine", "raw"
+    ),
 )
 def render_translation_xla(
     rgb,
@@ -244,6 +308,8 @@ def render_translation_xla(
     feathering: float = 0.1,
     mask_mode: str = "none",
     to_srgb: bool = True,
+    refine: int = 0,
+    raw: bool = False,
 ):
     """XLA oracle: rolled fori_loop over planes (CPU-fast, TPU-slow).
 
@@ -257,19 +323,31 @@ def render_translation_xla(
       f1: source focal in pixels; must equal the render focal f2.
       plane_invz: (num_planes,) descending (near -> far) plane positions.
       plan: static TranslationPlan covering the shift range.
+      refine: number of interior SUB-PLANE evaluations inside the crossing
+        bracket (0 = plain secant between the bracketing planes). With
+        refine = n the disparity warp is re-evaluated at s = j/(n+1)
+        between the bracketing planes — valid because the per-plane shift
+        is affine in invz, so sub-plane shifts are exact interpolations of
+        the neighbouring plane shifts — and the secant runs in the 1/(n+1)
+        sub-bracket containing the first crossing: n+1 times the effective
+        plane density, paid only where crossings happen.
     """
     izmin = jnp.asarray(invz_min, jnp.float32)
     izmax = jnp.asarray(invz_max, jnp.float32)
     invz = jnp.asarray(plane_invz, jnp.float32)
     ix_t, fx_t, iy_t, fy_t = plane_tables(plan, invz, c1, f1)
+    tx_t = ix_t.astype(jnp.float32) + fx_t
+    ty_t = iy_t.astype(jnp.float32) + fy_t
     dpad, cpad = pad_sources(plan, rgb, disp, mask)
 
     oh, ow = plan.out_h, plan.out_w
 
-    def warp(k):
-        """Bilinear 2-D translation of disp + color planes at plane k."""
-        ix, iy = ix_t[k], iy_t[k]
-        fx, fy = fx_t[k], fy_t[k]
+    def warp_at(tx, ty, color: bool):
+        """Bilinear 2-D translation at fractional offsets (tx, ty)."""
+        ix = jnp.floor(tx).astype(jnp.int32)
+        iy = jnp.floor(ty).astype(jnp.int32)
+        fx = tx - ix
+        fy = ty - iy
 
         def win(arr2d, dy, dx):
             return jax.lax.dynamic_slice(arr2d, (iy + dy, ix + dx), (oh, ow))
@@ -281,22 +359,61 @@ def render_translation_xla(
 
         texel = bil(dpad)
         d = texel * (izmin - izmax) + izmax
-        rgba = jnp.stack([bil(cpad[c]) for c in range(4)], axis=-1)
+        rgba = (
+            jnp.stack([bil(cpad[c]) for c in range(4)], axis=-1)
+            if color
+            else None
+        )
         return d, rgba
 
     def body(k, carry):
         found, invz_star, rgba_star, prev_diff, prev_rgba = carry
-        d, rgba = warp(k)
+        d, rgba = warp_at(tx_t[k], ty_t[k], color=True)
         izk = invz[k]
+        prev_iz = invz[jnp.maximum(k - 1, 0)]
         diff = d - izk
         crossed = (found < 0.5) & (diff > 0.0)
-        prev_iz = invz[jnp.maximum(k - 1, 0)]
-        t = jnp.clip(
-            prev_diff / jnp.minimum(prev_diff - diff, -1e-12), 0.0, 1.0
-        )
-        t = jnp.where(k == 0, jnp.ones_like(t), t)
-        iz_c = prev_iz + t * (izk - prev_iz)
-        rgba_c = prev_rgba + t[..., None] * (rgba - prev_rgba)
+
+        if refine == 0:
+            t = jnp.clip(
+                prev_diff / jnp.minimum(prev_diff - diff, -1e-12), 0.0, 1.0
+            )
+            s_star = t
+        else:
+            # mini-sweep of `refine` interior sub-planes: first sub-bracket
+            # with a sign change, then the secant inside it
+            km1 = jnp.maximum(k - 1, 0)
+            slo = jnp.zeros((oh, ow), jnp.float32)
+            pd2 = prev_diff
+            d2 = diff
+            sfound = jnp.zeros((oh, ow), bool)
+            prev_g = prev_diff
+            prev_s = 0.0
+            step = 1.0 / (refine + 1)
+            for j in range(1, refine + 1):
+                s = j * step
+                tx_s = tx_t[km1] + s * (tx_t[k] - tx_t[km1])
+                ty_s = ty_t[km1] + s * (ty_t[k] - ty_t[km1])
+                iz_s = prev_iz + s * (izk - prev_iz)
+                g = warp_at(tx_s, ty_s, color=False)[0] - iz_s
+                csub = (~sfound) & (g > 0.0)
+                slo = jnp.where(csub, prev_s, slo)
+                pd2 = jnp.where(csub, prev_g, pd2)
+                d2 = jnp.where(csub, g, d2)
+                sfound = sfound | csub
+                prev_g = g
+                prev_s = s
+            slo = jnp.where(sfound, slo, prev_s)
+            pd2 = jnp.where(sfound, pd2, prev_g)
+            # d2 default is already `diff` (the k-plane diff)
+            t2 = jnp.clip(
+                pd2 / jnp.minimum(pd2 - d2, -1e-12), 0.0, 1.0
+            )
+            s_star = slo + step * t2
+
+        s_star = jnp.where(k == 0, jnp.ones_like(s_star), s_star)
+        iz_c = prev_iz + s_star * (izk - prev_iz)
+        rgba_c = prev_rgba + s_star[..., None] * (rgba - prev_rgba)
         invz_star = jnp.where(crossed, iz_c, invz_star)
         rgba_star = jnp.where(crossed[..., None], rgba_c, rgba_star)
         found = jnp.maximum(found, crossed.astype(jnp.float32))
@@ -314,7 +431,7 @@ def render_translation_xla(
     )
     return _finalize(
         plan, found, invz_star, rgba_star, c1, f1, izmin, background,
-        feathering, mask_mode, to_srgb,
+        feathering, mask_mode, to_srgb, raw=raw,
     )
 
 
@@ -333,18 +450,59 @@ def render_translation(
     feathering: float = 0.1,
     mask_mode: str = "none",
     to_srgb: bool = True,
+    refine: int = 0,
+    raw: bool = False,
 ):
     """Backend dispatch: Pallas kernel on TPU, XLA fori_loop elsewhere."""
     if jax.default_backend() == "cpu":
         return render_translation_xla(
             rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
             background, plan, num_planes, feathering=feathering,
-            mask_mode=mask_mode, to_srgb=to_srgb,
+            mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
         )
     from .pallas.sweep_march import render_translation_pallas
 
     return render_translation_pallas(
         rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
         background, plan, num_planes, feathering=feathering,
-        mask_mode=mask_mode, to_srgb=to_srgb,
+        mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
+    )
+
+
+def render_translation_batch(
+    rgb,
+    disp,
+    mask,
+    invz_min,
+    invz_max,
+    c1,  # (B, 3) per-pose positions; lateral (x-only) for the Pallas path
+    f1,
+    plane_invz,
+    background,
+    plan: TranslationPlan,
+    num_planes: int,
+    feathering: float = 0.1,
+    mask_mode: str = "none",
+    to_srgb: bool = True,
+    refine: int = 0,
+    raw: bool = False,
+):
+    """Pose-batched dispatch: ONE Pallas launch for the whole batch on TPU
+    (poses iterate innermost over the resident source window — one source
+    read per tile for N views, and one host dispatch instead of N), vmapped
+    XLA fori_loop elsewhere. Returns (B, H, W, 4)."""
+    if jax.default_backend() == "cpu":
+        return jax.vmap(
+            lambda cc: render_translation_xla(
+                rgb, disp, mask, invz_min, invz_max, cc, f1, plane_invz,
+                background, plan, num_planes, feathering=feathering,
+                mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
+            )
+        )(jnp.asarray(c1, jnp.float32))
+    from .pallas.sweep_march import render_translation_batch_pallas
+
+    return render_translation_batch_pallas(
+        rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
+        background, plan, num_planes, feathering=feathering,
+        mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
     )

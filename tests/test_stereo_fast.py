@@ -1,0 +1,124 @@
+"""Golden tests: the fast (plane-march) stereo path vs the march-exact
+stereo kernel (ops/stereo, itself golden-tested against the float64
+reference in test_stereo.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lif_tpu import (
+    Camera,
+    projector_from_arrays,
+    render_stereo_fast,
+    render_stereo_fast_batch,
+    render_stereo_view,
+)
+from .scenes import make_layer
+
+
+def _pair(rng, h, w, eye, with_mask=False):
+    ll = make_layer(rng, h, w, with_mask=with_mask)
+    lr = make_layer(rng, h, w, with_mask=with_mask)
+
+    def proj(layer, x):
+        extra = None
+        if with_mask:
+            extra = [dict(
+                rgb=np.asarray(layer["rgb"], np.float32)[::-1].copy(),
+                disp=np.asarray(layer["disp"], np.float32),
+                mask=np.asarray(layer["mask"], np.float32),
+                focal_px=layer["focal"],
+                invz_min=layer["invz_min"] * 0.8,
+                invz_max=layer["invz_max"],
+            )]
+        return projector_from_arrays(
+            np.asarray(layer["rgb"], np.float32),
+            np.asarray(layer["disp"], np.float32),
+            focal_px=layer["focal"],
+            invz_min=layer["invz_min"],
+            invz_max=layer["invz_max"],
+            baseline=1.0,
+            position=(x, 0.0, 0.0),
+            extra_layers=extra,
+        )
+
+    return proj(ll, -eye), proj(lr, eye)
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a)[..., :3] - np.asarray(b)[..., :3]) ** 2)
+    return 10 * np.log10(1.0 / max(float(mse), 1e-12))
+
+
+def test_stereo_fast_matches_march_kernel(rng):
+    """Single-layer maskless stereo: the fast path reproduces the exact
+    two-view kernel (weight + occlusion fill + blend) at >= 37 dB."""
+    h, w = 96, 128
+    eye = 0.03
+    left, right = _pair(rng, h, w, eye)
+    cam = Camera.create(
+        w, h, focal_px=0.78 * w, position=[0.01, 0.0, 0.0]
+    )
+    exact = render_stereo_view(left, right, cam, num_steps=160)
+    fast = render_stereo_fast(left, right, cam, num_planes=160)
+    p = _psnr(fast, exact)
+    assert p >= 37.0, f"only {p:.1f} dB vs the exact stereo kernel"
+
+
+def test_stereo_fast_weight_extremes(rng):
+    """At the left view position the blend is ~all-left AWAY from the
+    feathering band (inside the band the occlusion fill legitimately
+    substitutes right-view content where the left taper dips — the exact
+    kernel does the same, rayCastStereoLDI.glsl:372-381)."""
+    h, w = 64, 96
+    eye = 0.04
+    left, right = _pair(rng, h, w, eye)
+    from lif_tpu.models.renderer import render_fast_view
+
+    cam_l = Camera.create(w, h, focal_px=0.78 * w, position=[-eye, 0.0, 0.0])
+    fast = np.asarray(render_stereo_fast(left, right, cam_l, num_planes=96))
+    mono_l = np.asarray(
+        render_fast_view(left, cam_l, num_planes=96, mask_mode="none")
+    )
+    # interior: feathering 0.1 -> skip a 15% border on every side
+    bh, bw = int(0.15 * h), int(0.15 * w)
+    p = _psnr(fast[bh:-bh, bw:-bw], mono_l[bh:-bh, bw:-bw])
+    assert p >= 35.0, f"left-eye pose should be ~pure left view ({p:.1f} dB)"
+
+
+def test_stereo_fast_batch_matches_single(rng):
+    """The batched stereo (one dispatch) equals per-pose fast stereo."""
+    h, w = 64, 96
+    eye = 0.03
+    left, right = _pair(rng, h, w, eye)
+    cams = [
+        Camera.create(w, h, focal_px=0.78 * w, position=[x, 0.0, 0.0])
+        for x in (-0.02, 0.0, 0.015)
+    ]
+    batched = np.asarray(
+        render_stereo_fast_batch(left, right, cams, num_planes=64)
+    )
+    for i, cam in enumerate(cams):
+        single = np.asarray(
+            render_stereo_fast(left, right, cam, num_planes=64)
+        )
+        assert np.abs(batched[i] - single).max() < 1e-5, i
+
+
+def test_stereo_fast_ldi_masked(rng):
+    """2-layer LDI with masks: the dilated hard-discard semantics keep the
+    fast path close to the exact stereo kernel (mask-edge flips excluded,
+    like test_stereo's decisive-pixel rule)."""
+    h, w = 96, 128
+    eye = 0.03
+    left, right = _pair(rng, h, w, eye, with_mask=True)
+    cam = Camera.create(w, h, focal_px=0.78 * w, position=[0.005, 0.0, 0.0])
+    exact = np.asarray(render_stereo_view(left, right, cam, num_steps=160))
+    fast = np.asarray(render_stereo_fast(left, right, cam, num_planes=160))
+    # exclude pixels where the binary discard flips between the pre-eroded
+    # fast mask and the shader's per-sample test
+    dis = (exact[..., 3] <= 1e-6) != (fast[..., 3] <= 1e-6)
+    assert dis.mean() < 0.06, f"too many discard flips: {dis.mean():.3f}"
+    keep = ~dis
+    mse = np.mean((exact[..., :3][keep] - fast[..., :3][keep]) ** 2)
+    p = 10 * np.log10(1.0 / max(float(mse), 1e-12))
+    assert p >= 30.0, f"only {p:.1f} dB vs the exact stereo kernel (masked)"

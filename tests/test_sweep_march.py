@@ -11,7 +11,10 @@ import jax.numpy as jnp
 import pytest
 
 from lif_tpu.ops import raycast, sweep_march
-from lif_tpu.ops.pallas.sweep_march import render_translation_pallas
+from lif_tpu.ops.pallas.sweep_march import (
+    render_translation_batch_pallas,
+    render_translation_pallas,
+)
 
 
 def _scene(rng, h=96, w=128):
@@ -160,6 +163,121 @@ def test_first_plane_crossing_snaps_to_nearest_plane(rng):
     ref = _march(rgb, disp, mask, izmin, izmax, f1, c1, w, h, steps=160)
     # interior pixels must match the march (shift of ~izmin*f*c pixels)
     assert _psnr(img[4:-4, 12:-12], ref[4:-4, 12:-12]) > 40.0
+
+
+def test_refine_matches_oracle(rng):
+    """Sub-bracket refinement: Pallas (interpret) == the refined XLA
+    oracle, and the refined render stays in the same fidelity class as
+    the plain secant. (Measured on the SFMoMA pose, docs/DESIGN.md:
+    sub-bracket first-crossing search does NOT improve PSNR vs the march
+    family — it catches grazing crossings between the march's own
+    evaluation points — which is why march_refine defaults to 0 and plane
+    density is the fidelity lever.)"""
+    rgb, disp, mask = _scene(rng)
+    h, w = disp.shape
+    izmin, izmax = 2.0, 0.1
+    f1 = 0.78 * w
+    c1 = np.array([0.06, 0.0, 0.0], np.float32)
+    K = 10  # sparse: sub-planes must still land inside valid brackets
+    plane = _planes(disp, izmin, izmax, K)
+    plan = sweep_march.translation_plan(w, h, w, h, f1 * abs(c1[0]) * izmin, 0.0)
+    args = (
+        jnp.asarray(rgb), jnp.asarray(disp), jnp.asarray(mask),
+        izmin, izmax, jnp.asarray(c1), f1, jnp.asarray(plane), jnp.zeros(4),
+    )
+    ref = _march(rgb, disp, mask, izmin, izmax, f1, c1, w, h, steps=320)
+    psnrs = {}
+    for refine in (0, 3):
+        a = np.asarray(
+            sweep_march.render_translation_xla(
+                *args, plan=plan, num_planes=K, mask_mode="none",
+                refine=refine,
+            )
+        )
+        b = np.asarray(
+            render_translation_pallas(
+                *args, plan=plan, num_planes=K, mask_mode="none",
+                refine=refine, interpret=True,
+            )
+        )
+        assert np.abs(a - b).max() < 1e-4, f"refine={refine}"
+        psnrs[refine] = _psnr(a, ref)
+    assert abs(psnrs[3] - psnrs[0]) < 3.0, psnrs
+
+
+def test_pallas_batch_equals_per_pose(rng):
+    """The pose-batched kernel (one launch, shared source window) matches
+    per-pose renders exactly (interpret mode)."""
+    h, w = 96, 128
+    disp = rng.random((h, w), dtype=np.float32)
+    rgb = rng.random((h, w, 3), dtype=np.float32)
+    mask = np.ones((h, w), np.float32)
+    izmin, izmax = 2.0, 0.1
+    f1 = 0.78 * w
+    bg = np.asarray([0.1, 0.2, 0.3, 1.0], np.float32)
+    K = 48
+    plane = (izmax + (izmin - izmax) * np.linspace(0.999, 0.001, K)).astype(
+        np.float32
+    )
+    cxs = np.asarray([0.01, 0.035, 0.06], np.float32)
+    c1_b = np.stack([cxs, np.zeros(3, np.float32), np.zeros(3, np.float32)], -1)
+    plan = sweep_march.translation_plan(
+        w, h, w, h, f1 * float(cxs.max()) * izmin, 0.0
+    )
+    batched = np.asarray(
+        render_translation_batch_pallas(
+            jnp.asarray(rgb), jnp.asarray(disp), jnp.asarray(mask),
+            izmin, izmax, jnp.asarray(c1_b), f1, jnp.asarray(plane),
+            jnp.asarray(bg), plan=plan, num_planes=K, interpret=True,
+        )
+    )
+    for i in range(3):
+        single = np.asarray(
+            render_translation_pallas(
+                jnp.asarray(rgb), jnp.asarray(disp), jnp.asarray(mask),
+                izmin, izmax, jnp.asarray(c1_b[i]), f1, jnp.asarray(plane),
+                jnp.asarray(bg), plan=plan, num_planes=K, interpret=True,
+            )
+        )
+        assert np.abs(batched[i] - single).max() < 1e-6, i
+
+
+def test_render_fast_batch_matches_per_frame(rng):
+    """renderer.render_fast_batch == per-frame render_fast_view, for both
+    the lateral (march) batch and the rotated fallback batch."""
+    from lif_tpu import Camera, projector_from_arrays, render_fast_batch
+    from lif_tpu.models.renderer import render_fast_view
+
+    h, w = 64, 128
+    rgb, disp, mask = _scene(rng, h=h, w=w)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.1, baseline=1.0
+    )
+    # lateral batch
+    cams = [
+        Camera.create(w, h, focal_px=0.78 * w, position=[0.02 * i, 0.0, 0.0])
+        for i in range(1, 4)
+    ]
+    batched = np.asarray(render_fast_batch(proj, cams, num_planes=48))
+    for i, cam in enumerate(cams):
+        single = np.asarray(render_fast_view(proj, cam, num_planes=48))
+        assert np.abs(batched[i] - single).max() < 1e-5, f"lateral frame {i}"
+
+    # rotated batch (the in-jit loop path)
+    ry = np.array(
+        [[np.cos(0.02), 0, np.sin(0.02)], [0, 1, 0], [-np.sin(0.02), 0, np.cos(0.02)]],
+        np.float64,
+    )
+    cams_r = [
+        Camera.create(
+            w, h, focal_px=0.78 * w, position=[0.02 * i, 0.0, 0.0], rotation=ry
+        )
+        for i in range(1, 3)
+    ]
+    batched_r = np.asarray(render_fast_batch(proj, cams_r, num_planes=24))
+    for i, cam in enumerate(cams_r):
+        single = np.asarray(render_fast_view(proj, cam, num_planes=24))
+        assert np.abs(batched_r[i] - single).max() < 1e-5, f"rotated frame {i}"
 
 
 def test_renderer_fast_auto_uses_march(rng):

@@ -76,3 +76,23 @@ def test_frustum_wireframe(rng):
     assert len(w["edges"]) == 12
     # near plane at baseline/invz_min = 0.05/2 = 0.025 down -Z
     np.testing.assert_allclose(w["corners"][:4, 2], -0.025, atol=1e-6)
+
+
+def test_render_consumes_config(rng):
+    """render() resolves unset knobs from a RenderConfig: a non-default
+    background and march plane count must change the output/compile path."""
+    from lif_tpu import Camera, projector_from_arrays, render
+
+    h, w = 16, 32
+    proj = projector_from_arrays(
+        rng.random((h, w, 3), dtype=np.float32),
+        rng.random((h, w), dtype=np.float32) * 0.2,  # mostly far: misses
+        focal_px=0.78 * w, invz_min=2.0, invz_max=0.2, baseline=1.0,
+    )
+    cam = Camera.create(w, h, focal_px=0.78 * w, position=[0.05, 0.0, 0.0])
+    cfg = RenderConfig(background=(1.0, 0.0, 0.0, 1.0), march_planes=16)
+    a = np.asarray(render(proj, cam, mode="fast", config=cfg))
+    b = np.asarray(render(proj, cam, mode="fast"))
+    # the configured red background shows through missed rays
+    assert (np.abs(a - b) > 1e-3).any()
+    assert a[..., 0].max() > 0.9
