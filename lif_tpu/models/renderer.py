@@ -35,7 +35,9 @@ __all__ = [
     "render_stereo_view",
 ]
 
-RenderMode = Literal["raycast", "stereo", "stereo_fast", "mesh", "fast"]
+RenderMode = Literal[
+    "raycast", "stereo", "stereo_fast", "mesh", "billboard", "fast"
+]
 
 # plane-table cache for the fast path: quantile computation reads the whole
 # disparity map on the host, which must not happen per frame. Keyed by the
@@ -979,8 +981,11 @@ def render(
         (the reference's raytracing mode renders projector 0;
         HoloRenderer.ts:186-189 renders only the first in mesh mode too).
       * 'stereo': two projectors blended in one pass.
-      * 'mesh': forward-splat of the projector's pixel grid
-        (ops.splat; the reference's default mesh mode).
+      * 'mesh': connected-triangle rasterization of the (W+1)x(H+1)
+        corner grid (ops.mesh; the reference's default mesh mode,
+        holoVertex.glsl meshMode=1 + HoloRenderer.ts:809-858).
+      * 'billboard': per-pixel square-footprint splat (ops.splat; the
+        reference's billboard mode, holoVertex.glsl meshMode=0).
     """
     plist = list(projectors) if isinstance(projectors, (list, tuple)) else [projectors]
     if mode == "raycast":
@@ -996,6 +1001,10 @@ def render(
             raise ValueError("stereo_fast mode needs two projectors")
         return render_stereo_fast(plist[0], plist[1], camera, **kwargs)
     if mode == "mesh":
+        from ..ops import mesh as _mesh
+
+        return _mesh.render_mesh_connected_view(plist[0], camera, **kwargs)
+    if mode == "billboard":
         from ..ops import splat as _splat
 
         return _splat.render_mesh_view(plist[0], camera, **kwargs)
