@@ -59,13 +59,19 @@ def render_trajectory(
     camera_template: Camera,
     mode: str = "raycast",
     out_dir: str | None = None,
+    chunk: int = 24,
     **kwargs,
 ):
     """Render every pose; optionally dump PNGs. Returns (F, H, W, 4) numpy
-    (top-down display orientation)."""
-    frames = []
-    for i in range(len(positions)):
-        cam = Camera.create(
+    (top-down display orientation).
+
+    mode='fast' renders the trajectory in `chunk`-frame batches through
+    render_fast_batch — ONE device dispatch per chunk instead of one per
+    frame, which amortizes the host->device dispatch latency that
+    dominates per-frame rendering (docs/TPU_NOTES.md); lateral chunks
+    additionally share one source read per tile inside the Pallas march."""
+    def _cam(i):
+        return Camera.create(
             camera_template.width,
             camera_template.height,
             focal_px=float(camera_template.focal_px),
@@ -73,9 +79,22 @@ def render_trajectory(
             rotation=rotations[i],
             skew=np.asarray(camera_template.skew),
         )
-        img = np.asarray(render(projector, cam, mode=mode, **kwargs))
-        frames.append(to_display(img))
-    frames = np.stack(frames)
+
+    if mode == "fast":
+        from ..models.renderer import render_fast_batch
+
+        frames = []
+        for lo in range(0, len(positions), chunk):
+            cams = [_cam(i) for i in range(lo, min(lo + chunk, len(positions)))]
+            out = np.asarray(render_fast_batch(projector, cams, **kwargs))
+            frames.extend(to_display(f) for f in out)
+        frames = np.stack(frames)
+    else:
+        frames = []
+        for i in range(len(positions)):
+            img = np.asarray(render(projector, _cam(i), mode=mode, **kwargs))
+            frames.append(to_display(img))
+        frames = np.stack(frames)
 
     if out_dir:
         from PIL import Image
@@ -91,8 +110,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Offline LIF trajectory renderer")
     parser.add_argument("lif", help="path to a .lif file")
     parser.add_argument("--mode", choices=["orbit", "dolly"], default="orbit")
-    parser.add_argument("--render", choices=["raycast", "mesh", "stereo"],
-                        default="raycast")
+    parser.add_argument("--render",
+                        choices=["raycast", "mesh", "billboard", "stereo",
+                                 "fast"],
+                        default="fast")
     parser.add_argument("--frames", type=int, default=24)
     parser.add_argument("--sweep", type=float, default=30.0,
                         help="orbit sweep in degrees")

@@ -29,6 +29,7 @@ __all__ = [
     "render",
     "render_fast_batch",
     "render_fast_view",
+    "render_fused_fast",
     "render_mono_view",
     "render_stereo_fast",
     "render_stereo_fast_batch",
@@ -144,6 +145,7 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
                 izmin=jnp.float32(izmin_f),
                 izmax=jnp.float32(izmax_f),
                 izmin_host=izmin_f,
+                izmax_host=izmax_f,
                 w=w_i,
                 h=h_i,
                 plane_invz=jnp.asarray(plane_invz),
@@ -333,17 +335,21 @@ def render_fast_view(
         mask_mode = "multiply" if projector.num_layers > 1 else "none"
 
     # the march path amortizes dense planes (VMEM-resident loop with
-    # data-dependent skipping) and wants the march's own uniform grid;
-    # the matmul sweep pays per plane, so it runs few, quantile-packed ones
+    # data-dependent skipping); its default is the integer-parallax snap
+    # grid (exact warps; ops/sweep_march.snap_plane_table). The matmul
+    # sweep pays per plane, so it runs few, quantile-packed ones.
     lateral_pose = (
         not rotated and abs(pos_np[1]) < 1e-9 and abs(pos_np[2]) < 1e-9
     )
     marching = method != "sweep" and lateral_pose
+    explicit_planes = num_planes
+    snap = marching and cfg.plane_mode == "snap"
     if num_planes is None:
         num_planes = cfg.march_planes if marching else cfg.sweep_planes
     prepared = _prepared_fast(
         projector, num_planes,
-        plane_mode=cfg.plane_mode if marching else "hybrid",
+        plane_mode=("uniform" if snap else cfg.plane_mode)
+        if marching else "hybrid",
     )
     if not prepared["skew_ok"] or float(np.abs(np.asarray(camera.skew)).sum()) > 1e-9:
         raise ValueError("render_fast_view does not support skewed frustums")
@@ -390,12 +396,29 @@ def render_fast_view(
             plans.append(None)
         use_march.append(m)
 
+    # per-layer plane tables + static counts: snap grids are pose- and
+    # layer-range-dependent (host math, ~K floats/frame)
+    nums = []
+    tables = []
+    for lay, m in zip(prepared["layers"], use_march):
+        if m and snap:
+            tab, k_l = _sweep_march.snap_plane_table(
+                lay["focal_host"], float(pos_np[0]),
+                lay["izmin_host"], lay["izmax_host"],
+                num_planes=explicit_planes,
+            )
+            tables.append(jnp.asarray(tab))
+            nums.append(k_l)
+        else:
+            tables.append(lay["plane_invz"])
+            nums.append(num_planes)
+
     core = _fast_core_jit(
         plans=tuple(plans),
         use_march=tuple(use_march),
         rotated=rotated,
         refine=refine,
-        num_planes=num_planes,
+        nums=tuple(nums),
         chunk=chunk,
         feathering=float(feathering),
         mask_mode=mask_mode,
@@ -408,9 +431,9 @@ def render_fast_view(
         dict(
             rgb=lay["rgb"], disp=lay["disp"], mask=lay["mask"],
             focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
-            plane_invz=lay["plane_invz"],
+            plane_invz=tab,
         )
-        for lay in prepared["layers"]
+        for lay, tab in zip(prepared["layers"], tables)
     )
     return core(
         layer_args, c1, rot1, jnp.float32(f2_host),
@@ -487,11 +510,14 @@ def render_fast_batch(
     if mask_mode is None:
         mask_mode = "multiply" if projector.num_layers > 1 else "none"
     marching = method != "sweep" and lateral
+    explicit_planes = num_planes
+    snap = marching and cfg.plane_mode == "snap"
     if num_planes is None:
         num_planes = cfg.march_planes if marching else cfg.sweep_planes
     prepared = _prepared_fast(
         projector, num_planes,
-        plane_mode=cfg.plane_mode if marching else "hybrid",
+        plane_mode=("uniform" if snap else cfg.plane_mode)
+        if marching else "hybrid",
     )
     if not prepared["skew_ok"] or float(np.abs(np.asarray(cam0.skew)).sum()) > 1e-9:
         raise ValueError("render_fast_batch does not support skewed frustums")
@@ -529,13 +555,30 @@ def render_fast_batch(
             plans.append(None)
         use_march.append(m)
 
+    # per-layer plane tables: snap grids are per-pose (B, K_l), padded to
+    # a shared bucketed K_l per layer
+    nums = []
+    tables = []
+    for lay, m in zip(prepared["layers"], use_march):
+        if m and snap:
+            tab, k_l = _sweep_march.snap_plane_tables_batch(
+                lay["focal_host"], pos_b[:, 0].tolist(),
+                lay["izmin_host"], lay["izmax_host"],
+                num_planes=explicit_planes,
+            )
+            tables.append(jnp.asarray(tab))
+            nums.append(k_l)
+        else:
+            tables.append(lay["plane_invz"])
+            nums.append(num_planes)
+
     core = _fast_batch_core_jit(
         plans=tuple(plans),
         use_march=tuple(use_march),
         rotated=rotated,
         refine=refine,
         batch=len(cameras),
-        num_planes=num_planes,
+        nums=tuple(nums),
         chunk=chunk,
         feathering=float(feathering),
         mask_mode=mask_mode,
@@ -548,9 +591,9 @@ def render_fast_batch(
         dict(
             rgb=lay["rgb"], disp=lay["disp"], mask=lay["mask"],
             focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
-            plane_invz=lay["plane_invz"],
+            plane_invz=tab,
         )
-        for lay in prepared["layers"]
+        for lay, tab in zip(prepared["layers"], tables)
     )
     return core(
         layer_args,
@@ -587,7 +630,7 @@ def _fast_batch_core(
     rotated,
     refine,
     batch,
-    num_planes,
+    nums,  # per-layer static plane counts
     chunk,
     feathering,
     mask_mode,
@@ -601,13 +644,13 @@ def _fast_batch_core(
     zero_bg = jnp.zeros(4, jnp.float32)
     result_rgb = None
     result_a = None
-    for lay, plan, m in zip(layers, plans, use_march):
+    for lay, plan, m, k_l in zip(layers, plans, use_march, nums):
         if m:
             layer = _sweep_march.render_translation_batch(
                 lay["rgb"], lay["disp"], lay["mask"],
                 lay["izmin"], lay["izmax"], c1_b, lay["focal"],
                 lay["plane_invz"], zero_bg,
-                plan=plan, num_planes=num_planes, refine=refine,
+                plan=plan, num_planes=k_l, refine=refine,
                 feathering=feathering, mask_mode=mask_mode, to_srgb=False,
             )  # (B, H, W, 4)
         else:
@@ -616,7 +659,7 @@ def _fast_batch_core(
                 out_w=out_w,
                 out_h=out_h,
                 focal1=lay["focal"],
-                num_planes=num_planes,
+                num_planes=k_l,
                 chunk=chunk,
                 feathering=feathering,
                 to_srgb=False,
@@ -683,6 +726,8 @@ def render_stereo_fast_batch(
     feathering = cfg.feathering if feathering is None else feathering
     to_srgb = cfg.to_srgb if to_srgb is None else to_srgb
     refine = cfg.march_refine if refine is None else refine
+    explicit_planes = num_planes
+    snap = cfg.plane_mode == "snap"
     num_planes = cfg.march_planes if num_planes is None else num_planes
     if len(cameras) == 0:
         raise ValueError("render_stereo_fast_batch needs at least one camera")
@@ -714,8 +759,9 @@ def render_stereo_fast_batch(
     pos_l = _poses(left)
     pos_r = _poses(right)
     num_layers = min(left.num_layers, right.num_layers)
-    prep_l = _prepared_fast(left, num_planes, plane_mode=cfg.plane_mode)
-    prep_r = _prepared_fast(right, num_planes, plane_mode=cfg.plane_mode)
+    prep_mode = "uniform" if snap else cfg.plane_mode
+    prep_l = _prepared_fast(left, num_planes, plane_mode=prep_mode)
+    prep_r = _prepared_fast(right, num_planes, plane_mode=prep_mode)
     if not (prep_l["skew_ok"] and prep_r["skew_ok"]) or (
         float(np.abs(np.asarray(cam0.skew)).sum()) > 1e-9
     ):
@@ -748,31 +794,51 @@ def render_stereo_fast_batch(
             )
         return tuple(plans)
 
+    def _tables(prep, pos_b):
+        nums, tables = [], []
+        for lay in prep["layers"][:num_layers]:
+            if snap:
+                tab, k_l = _sweep_march.snap_plane_tables_batch(
+                    lay["focal_host"], pos_b[:, 0].tolist(),
+                    lay["izmin_host"], lay["izmax_host"],
+                    num_planes=explicit_planes,
+                )
+                tables.append(jnp.asarray(tab))
+                nums.append(k_l)
+            else:
+                tables.append(lay["plane_invz"])
+                nums.append(num_planes)
+        return tuple(nums), tables
+
+    nums_l, tables_l = _tables(prep_l, pos_l)
+    nums_r, tables_r = _tables(prep_r, pos_r)
+
     core = _stereo_fast_core_jit(
         plans_l=_plans(prep_l, pos_l),
         plans_r=_plans(prep_r, pos_r),
         num_layers=num_layers,
-        num_planes=num_planes,
+        nums_l=nums_l,
+        nums_r=nums_r,
         refine=refine,
         feathering=float(feathering),
         mask_mode=mask_mode,
         to_srgb=to_srgb,
     )
 
-    def _args(prep):
+    def _args(prep, tables):
         return tuple(
             dict(
                 rgb=lay["rgb"], disp=lay["disp"],
                 mask=lay["mask_eroded"] if mask_mode == "hard" else lay["mask"],
                 focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
-                plane_invz=lay["plane_invz"],
+                plane_invz=tab,
             )
-            for lay in prep["layers"][:num_layers]
+            for lay, tab in zip(prep["layers"][:num_layers], tables)
         )
 
     return core(
-        _args(prep_l),
-        _args(prep_r),
+        _args(prep_l, tables_l),
+        _args(prep_r, tables_r),
         jnp.asarray(pos_l, jnp.float32),
         jnp.asarray(pos_r, jnp.float32),
         jnp.asarray(background, jnp.float32),
@@ -808,7 +874,8 @@ def _stereo_fast_core(
     plans_l,
     plans_r,
     num_layers,
-    num_planes,
+    nums_l,  # per-layer static plane counts, left view
+    nums_r,
     refine,
     feathering,
     mask_mode,
@@ -830,17 +897,17 @@ def _stereo_fast_core(
     result_a = None
     for i in range(num_layers):
         ll, lr = layers_l[i], layers_r[i]
-        rgba_l, a_l, hit_l = _sweep_march.render_translation_batch(
+        rgba_l, a_l, hit_l, _ = _sweep_march.render_translation_batch(
             ll["rgb"], ll["disp"], ll["mask"], ll["izmin"], ll["izmax"],
             c1l_b, ll["focal"], ll["plane_invz"], zero_bg,
-            plan=plans_l[i], num_planes=num_planes, refine=refine,
+            plan=plans_l[i], num_planes=nums_l[i], refine=refine,
             feathering=feathering, mask_mode=mask_mode, to_srgb=False,
             raw=True,
         )
-        rgba_r, a_r, hit_r = _sweep_march.render_translation_batch(
+        rgba_r, a_r, hit_r, _ = _sweep_march.render_translation_batch(
             lr["rgb"], lr["disp"], lr["mask"], lr["izmin"], lr["izmax"],
             c1r_b, lr["focal"], lr["plane_invz"], zero_bg,
-            plan=plans_r[i], num_planes=num_planes, refine=refine,
+            plan=plans_r[i], num_planes=nums_r[i], refine=refine,
             feathering=feathering, mask_mode=mask_mode, to_srgb=False,
             raw=True,
         )
@@ -904,7 +971,7 @@ def _fast_core(
     use_march,
     rotated,
     refine,
-    num_planes,
+    nums,  # per-layer static plane counts
     chunk,
     feathering,
     mask_mode,
@@ -918,13 +985,13 @@ def _fast_core(
     zero_bg = jnp.zeros(4, jnp.float32)
     result_rgb = None
     result_a = None
-    for lay, plan, m in zip(layers, plans, use_march):
+    for lay, plan, m, k_l in zip(layers, plans, use_march, nums):
         if m:
             layer = _sweep_march.render_translation(
                 lay["rgb"], lay["disp"], lay["mask"],
                 lay["izmin"], lay["izmax"], c1, lay["focal"],
                 lay["plane_invz"], zero_bg,
-                plan=plan, num_planes=num_planes, refine=refine,
+                plan=plan, num_planes=k_l, refine=refine,
                 feathering=feathering, mask_mode=mask_mode, to_srgb=False,
             )
         else:
@@ -932,7 +999,7 @@ def _fast_core(
                 out_w=out_w,
                 out_h=out_h,
                 focal1=lay["focal"],
-                num_planes=num_planes,
+                num_planes=k_l,
                 chunk=chunk,
                 feathering=feathering,
                 to_srgb=False,
@@ -961,6 +1028,204 @@ def _fast_core(
     bg = background
     out_rgb = bg[:3] * bg[3] * (1.0 - result_a[..., None]) + result_rgb
     out_a = bg[3] + result_a * (1.0 - bg[3])
+    if to_srgb:
+        from ..core.color import linear_to_srgb
+
+        out_rgb = linear_to_srgb(out_rgb)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+
+
+def render_fused_fast(
+    projectors: Sequence[Projector],
+    camera: Camera,
+    background=None,
+    feathering: float | None = None,
+    to_srgb: bool | None = None,
+    num_planes: int | None = None,
+    mask_mode: str | None = None,
+    config: RenderConfig | None = None,
+):
+    """Multi-projector nearest-depth fusion on the fast march — the
+    single-chip equivalent of parallel.sharding.render_fused_projectors
+    (same merge semantics; that one shards the view axis over a device
+    mesh with pmax/psum collectives, this one runs all views in ONE
+    compiled dispatch on one chip).
+
+    Per projector: every LDI layer is marched (raw), composited
+    front-to-back with the reference mask semantics, and the frontmost
+    hit's ABSOLUTE inverse depth (invz/baseline, comparable across
+    projectors) is tracked. Across projectors: nearest frontmost surface
+    wins; exact ties are averaged. The reference renders only the first
+    projector (HoloRenderer.ts:186-189) — fusion is this framework's
+    extension, spec'd identically in both the sharded and single-chip
+    paths (cross-checked in tests/test_fusion.py).
+
+    Requires lateral relative poses (x-only translation, matched focal,
+    output dims == layer dims) for every projector; use the sharded
+    raycast fusion for arbitrary poses.
+    """
+    cfg = config or DEFAULT_CONFIG
+    background = cfg.background if background is None else background
+    feathering = cfg.feathering if feathering is None else feathering
+    to_srgb = cfg.to_srgb if to_srgb is None else to_srgb
+    snap = cfg.plane_mode == "snap"
+    base_planes = cfg.march_planes if num_planes is None else num_planes
+    f2_host = float(camera.focal_px)
+
+    all_args, all_plans, all_nums, all_modes = [], [], [], []
+    c1s, baselines = [], []
+    for proj in projectors:
+        pos_np, rot_np = relative_view_pose(
+            np.asarray(proj.position, np.float64),
+            np.asarray(proj.rotation, np.float64),
+            np.asarray(camera.position, np.float64),
+            np.asarray(camera.rotation, np.float64),
+        )
+        if not np.allclose(rot_np, np.eye(3), atol=1e-5) or (
+            abs(pos_np[1]) > 1e-9 or abs(pos_np[2]) > 1e-9
+        ):
+            raise ValueError(
+                "render_fused_fast needs lateral poses; use "
+                "parallel.sharding.render_fused_projectors for arbitrary "
+                "poses"
+            )
+        prep = _prepared_fast(
+            proj, base_planes, plane_mode="uniform" if snap else "hybrid"
+        )
+        if not prep["skew_ok"]:
+            raise ValueError("render_fused_fast: skewed projector")
+        m_mode = mask_mode or (
+            "multiply" if proj.num_layers > 1 else "none"
+        )
+        plans, nums, args = [], [], []
+        for lay in prep["layers"]:
+            if (
+                abs(lay["focal_host"] - f2_host) > 1e-6 * f2_host
+                or lay["w"] != camera.width
+                or lay["h"] != camera.height
+            ):
+                raise ValueError(
+                    "render_fused_fast needs matched focal/dims per layer"
+                )
+            max_shift = min(
+                lay["focal_host"] * abs(float(pos_np[0])) * lay["izmin_host"],
+                float(lay["w"] + camera.width),
+            )
+            plans.append(_sweep_march.translation_plan(
+                lay["w"], lay["h"], camera.width, camera.height,
+                max_shift, 0.0,
+            ))
+            if snap:
+                tab, k_l = _sweep_march.snap_plane_table(
+                    lay["focal_host"], float(pos_np[0]),
+                    lay["izmin_host"], lay["izmax_host"],
+                    num_planes=num_planes,
+                )
+                tab = jnp.asarray(tab)
+            else:
+                tab, k_l = lay["plane_invz"], base_planes
+            nums.append(k_l)
+            args.append(dict(
+                rgb=lay["rgb"], disp=lay["disp"], mask=lay["mask"],
+                focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
+                plane_invz=tab,
+            ))
+        all_args.append(tuple(args))
+        all_plans.append(tuple(plans))
+        all_nums.append(tuple(nums))
+        all_modes.append(m_mode)
+        c1s.append(jnp.asarray(pos_np, jnp.float32))
+        baselines.append(jnp.float32(float(np.asarray(proj.baseline))))
+
+    core = _fused_fast_core_jit(
+        plans=tuple(all_plans),
+        nums=tuple(all_nums),
+        modes=tuple(all_modes),
+        feathering=float(feathering),
+        to_srgb=to_srgb,
+    )
+    return core(
+        tuple(all_args), tuple(c1s), tuple(baselines),
+        jnp.asarray(background, jnp.float32),
+    )
+
+
+_FUSED_FAST_CORE_CACHE: dict = {}
+
+
+def _fused_fast_core_jit(**statics):
+    key = tuple(sorted(statics.items()))
+    fn = _FUSED_FAST_CORE_CACHE.get(key)
+    if fn is None:
+        import functools
+
+        fn = jax.jit(functools.partial(_fused_fast_core, **statics))
+        _FUSED_FAST_CORE_CACHE[key] = fn
+    return fn
+
+
+def _fused_fast_core(
+    proj_args,
+    c1s,
+    baselines,
+    background,
+    *,
+    plans,
+    nums,
+    modes,
+    feathering,
+    to_srgb,
+):
+    """Traced body of render_fused_fast: per-projector LDI composite on
+    the march (raw), then the nearest-frontmost-surface merge."""
+    zero_bg = jnp.zeros(4, jnp.float32)
+    view_rgb, view_a, view_front = [], [], []
+    for layers, plan_l, num_l, m_mode, c1, baseline in zip(
+        proj_args, plans, nums, modes, c1s, baselines
+    ):
+        acc_rgb = None
+        acc_a = None
+        front = None
+        for lay, plan, k_l in zip(layers, plan_l, num_l):
+            rgba, alpha, hit, izs = _sweep_march.render_translation(
+                lay["rgb"], lay["disp"], lay["mask"],
+                lay["izmin"], lay["izmax"], c1, lay["focal"],
+                lay["plane_invz"], zero_bg,
+                plan=plan, num_planes=k_l,
+                feathering=feathering, mask_mode=m_mode, to_srgb=False,
+                raw=True,
+            )
+            inv_abs = izs / baseline
+            if acc_rgb is None:
+                acc_rgb = alpha[..., None] * rgba[..., :3]
+                acc_a = alpha
+                front = jnp.where(alpha > 0.0, inv_abs, 0.0)
+            else:
+                acc_rgb = acc_rgb + (1.0 - acc_a[..., None]) * alpha[
+                    ..., None
+                ] * rgba[..., :3]
+                new_hit = (alpha > 0.0) & (front == 0.0)
+                front = jnp.where(new_hit, inv_abs, front)
+                acc_a = acc_a + (1.0 - acc_a) * alpha
+        view_rgb.append(acc_rgb)
+        view_a.append(acc_a)
+        view_front.append(front)
+
+    rgb_s = jnp.stack(view_rgb)  # (V, H, W, 3) premultiplied
+    a_s = jnp.stack(view_a)
+    front_s = jnp.stack(view_front)
+    hit = a_s > 0.0
+    key = jnp.where(hit, front_s, -jnp.inf)
+    best = jnp.max(key, axis=0)
+    winner = hit & (key >= best)
+    count = jnp.maximum(jnp.sum(winner.astype(jnp.float32), axis=0), 1.0)
+    color = jnp.sum(jnp.where(winner[..., None], rgb_s, 0.0), axis=0)
+    alpha = jnp.sum(jnp.where(winner, a_s, 0.0), axis=0)
+    color = color / count[..., None]
+    alpha = alpha / count
+    bg = background
+    out_rgb = bg[:3] * bg[3] * (1.0 - alpha[..., None]) + color
+    out_a = bg[3] + alpha * (1.0 - bg[3])
     if to_srgb:
         from ..core.color import linear_to_srgb
 

@@ -88,8 +88,8 @@ def _pick_tw(w: int) -> int:
 def _kernel(
     ixs,  # (B, K) i32 scalar prefetch: per-pose per-plane x-shifts (padded)
     fxs,  # (B, K) f32: bilinear fractions
-    izt,  # (K,) f32: plane inverse depths, near -> far
-    tkt,  # (K,) f32: plane thresholds in TEXEL units
+    izt,  # (B, K) f32: per-pose plane inverse depths, near -> far
+    tkt,  # (B, K) f32: per-pose plane thresholds in TEXEL units
     cm3,  # (Wp/8, Hc) f32: sliding window max of coarse disp (skip table)
     src_hbm,  # (5, Wp, Hp) f32 ANY: r, g, b, mask, disp — TRANSPOSED
     out_ref,  # (1, 6, tw, lc) VMEM out block (pose-major)
@@ -164,7 +164,7 @@ def _kernel(
         # crossing. The tail test stops once every pixel has crossed.
         co = b * (tw // _COARSE) + ixs[p, k] // _COARSE
         active = jnp.logical_and(
-            cm3[co, c] > tkt[k], nfound[0, 0] < float(tw * lc)
+            cm3[co, c] > tkt[p, k], nfound[0, 0] < float(tw * lc)
         )
 
         @pl.when(active)
@@ -174,10 +174,10 @@ def _kernel(
             # plane k-1's diff at the moment a crossing is interpolated)
             @pl.when(jnp.logical_and(lastk[0, 0] != k - 1, k > 0))
             def _():
-                pdiff[:] = _warp((4, 5), k - 1)[0] - tkt[k - 1]
+                pdiff[:] = _warp((4, 5), k - 1)[0] - tkt[p, k - 1]
 
             tex = _warp((4, 5), k)[0]
-            diff = tex - tkt[k]
+            diff = tex - tkt[p, k]
             crossed = jnp.logical_and(kstar[:] < -0.5, diff > 0.0)
             cnt = jnp.sum(crossed.astype(jnp.float32))
             kstar[:] = jnp.where(crossed, jnp.float32(k), kstar[:])
@@ -208,8 +208,8 @@ def _kernel(
         def _():
             sel = kstar[:] == jnp.float32(k)
             km1 = jnp.maximum(k - 1, 0)
-            izk = izt[k]
-            prev_iz = izt[km1]
+            izk = izt[p, k]
+            prev_iz = izt[p, km1]
 
             if refine == 0:
                 s_star = t
@@ -221,8 +221,8 @@ def _kernel(
                 # density, paid only at flagged planes
                 tx_k = ixs[p, k].astype(jnp.float32) + fxs[p, k]
                 tx_k1 = ixs[p, km1].astype(jnp.float32) + fxs[p, km1]
-                tk_k = tkt[k]
-                tk_k1 = tkt[km1]
+                tk_k = tkt[p, k]
+                tk_k1 = tkt[p, km1]
                 step = 1.0 / (refine + 1)
                 slo = jnp.zeros((tw, lc), jnp.float32)
                 pd2 = pdiffc[:]
@@ -299,7 +299,7 @@ def _sweep_lateral(
     assert hp % lc == 0, hp
     izmin = jnp.asarray(invz_min, jnp.float32)
     izmax = jnp.asarray(invz_max, jnp.float32)
-    izt = jnp.asarray(plane_invz, jnp.float32)
+    izt = jnp.asarray(plane_invz, jnp.float32)  # (B, K) per-pose grids
     # plane thresholds in texel units: texel > tk  <=>  decoded d > izt
     # (the decode texel*(izmin-izmax)+izmax is affine with positive slope)
     tkt = (izt - izmax) / (izmin - izmax)
@@ -387,7 +387,8 @@ def render_translation_batch_pallas(
 ):
     """Batched equivalent of sweep_march.render_translation_xla on TPU for
     the LATERAL case: c1[i] = [cx_i, 0, 0], out dims == src dims, f1 == f2.
-    The caller (models/renderer) guarantees the reduction. Returns
+    The caller (models/renderer) guarantees the reduction. plane_invz may
+    be (K,) shared or (B, K) per-pose (snap grids). Returns
     (B, H, W, 4); the whole batch is ONE kernel launch sharing one source
     read per tile."""
     h, w = disp.shape
@@ -397,9 +398,11 @@ def render_translation_batch_pallas(
     invz = jnp.asarray(plane_invz, jnp.float32)
     c1 = jnp.asarray(c1, jnp.float32)
     batch = c1.shape[0]
+    if invz.ndim == 1:
+        invz = jnp.broadcast_to(invz, (batch, invz.shape[0]))
     ix_t, fx_t, _, _ = jax.vmap(
-        lambda cc: plane_tables(plan, invz, cc, f1)
-    )(c1)
+        lambda cc, pp: plane_tables(plan, pp, cc, f1)
+    )(c1, invz)
 
     # transposed (channels, x, y) stack; x edge-padded for the shift range,
     # y padded to the 128-lane grid (values there never reach the output)
@@ -460,5 +463,5 @@ def render_translation_pallas(
         interpret=interpret,
     )
     if raw:
-        return out[0][0], out[1][0], out[2][0]
+        return out[0][0], out[1][0], out[2][0], out[3][0]
     return out[0]

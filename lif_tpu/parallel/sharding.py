@@ -201,29 +201,64 @@ def render_trajectory_sharded(
     return fn(jnp.asarray(pos), jnp.asarray(rot), *shared)
 
 
+def _fuse_across_views(rgba, front_inv_depth, background, axis_name):
+    """Nearest-surface merge across the sharded view axis.
+
+    rgba: this view's composited (premultiplied) LDI render; front_inv_depth
+    its frontmost hit in ABSOLUTE 1/m units (comparable across projectors
+    with different baselines), 0 where nothing was hit. Nearest surface wins
+    via `pmax`; exact-depth ties are averaged with `psum`s so the merge is
+    deterministic under any device order."""
+    hit = rgba[..., 3] > 0.0
+    key = jnp.where(hit, front_inv_depth, -jnp.inf)
+    best = jax.lax.pmax(key, axis_name)
+    winner = hit & (key >= best)
+    count = jax.lax.psum(winner.astype(jnp.float32), axis_name)
+    color = jax.lax.psum(
+        jnp.where(winner[..., None], rgba[..., :3], 0.0), axis_name
+    )
+    alpha = jax.lax.psum(jnp.where(winner, rgba[..., 3], 0.0), axis_name)
+    denom = jnp.maximum(count, 1.0)
+    color = color / denom[..., None]
+    alpha = alpha / denom
+    bg = background
+    out_rgb = bg[:3] * bg[3] * (1.0 - alpha[..., None]) + color
+    out_a = bg[3] + alpha * (1.0 - bg[3])
+    from ..core.color import linear_to_srgb
+
+    return jnp.concatenate(
+        [linear_to_srgb(out_rgb), out_a[..., None]], axis=-1
+    )
+
+
 def render_fused_projectors(
     projectors,
     camera,
     mesh: Mesh,
     axis_name: str = "view",
     background=(0.0, 0.0, 0.0, 0.0),
+    mask_mode: str | None = None,
     **kwargs,
 ):
     """Fuse multiple projectors into one view, projector-sharded.
 
-    Each device raycasts ITS projector (single-layer; stacked along the
-    sharded leading axis), then the fused image is assembled with
-    collectives over ICI: nearest surface wins via `pmax` on the hit
-    inverse depth, colors merged with a masked `psum`. This is the
-    multi-projector fusion the reference lacks (it renders only the first
-    projector; HoloRenderer.ts:186-189)."""
+    Each device raycasts ITS projector — the FULL LDI stack, composited
+    front-to-back with the reference's mask semantics — then the fused
+    image is assembled with collectives over ICI: nearest frontmost
+    surface wins via `pmax` on absolute inverse depth, colors merged with
+    masked `psum`s. This is the multi-projector fusion the reference
+    lacks (it renders only the first projector; HoloRenderer.ts:186-189).
+
+    mask_mode: None -> per-projector reference default (multiply for LDI,
+    none for single-layer), or explicit 'multiply'/'none'.
+    """
     n = mesh.shape[axis_name]
     if len(projectors) != n:
         raise ValueError(f"need exactly {n} projectors for a {n}-way mesh")
 
     p0 = projectors[0]
-    rgbs, disps, masks, poss, rots = [], [], [], [], []
-    izmins, izmaxs, focals, skews = [], [], [], []
+    num_layers = max(p.num_layers for p in projectors)
+    poss, rots = [], []
     for p in projectors:
         if (p.height, p.width) != (p0.height, p0.width):
             raise ValueError("fused projectors must share dimensions")
@@ -233,72 +268,96 @@ def render_fused_projectors(
             np.asarray(camera.position, np.float64),
             np.asarray(camera.rotation, np.float64),
         )
-        rgbs.append(np.asarray(p.rgb[0]))
-        disps.append(np.asarray(p.disp[0]))
-        masks.append(np.asarray(p.mask[0]))
         poss.append(pos)
         rots.append(rot)
-        izmins.append(float(p.invz_min[0]) / float(p.baseline))
-        izmaxs.append(float(p.invz_max[0]) / float(p.baseline))
-        focals.append(float(p.focal[0]))
-        skews.append(np.asarray(p.skew))
 
     stack = lambda xs, dt=jnp.float32: jnp.asarray(np.stack(xs), dt)
     bg = jnp.asarray(background, jnp.float32)
+    modes = tuple(
+        (mask_mode or ("multiply" if p.num_layers > 1 else "none"))
+        for p in projectors
+    )
+    if len(set(modes)) != 1:
+        # shard_map traces ONE program for all shards; mixed per-view mask
+        # modes would need branching on the axis index. Use the common
+        # reference behaviour of the group.
+        modes = ("multiply",) * n
+    mode = modes[0]
+    layer_counts = tuple(p.num_layers for p in projectors)
 
-    def view_fn(rgb, disp, mask, pos, rot, izmin, izmax, focal, skew):
+    def view_fn(rgb, disp, m_arr, layer_res, izmin, izmax, focal, skew,
+                pos, rot, nlay, baseline):
         # shard_map gives each device a leading dim of 1; drop it
-        rgb, disp, mask = rgb[0], disp[0], mask[0]
-        pos, rot, skew = pos[0], rot[0], skew[0]
-        izmin, izmax, focal = izmin[0], izmax[0], focal[0]
+        rgb, disp, m_arr = rgb[0], disp[0], m_arr[0]
+        layer_res, izmin, izmax = layer_res[0], izmin[0], izmax[0]
+        focal, skew, pos, rot = focal[0], skew[0], pos[0], rot[0]
+        nlay, baseline = nlay[0], baseline[0]
 
         s2x, s2y = _raycast._pixel_grid(camera.width, camera.height)
-        skr1 = _raycast.build_skr1(skew, rot)
         from ..core.transforms import mat_from_focal, mm
 
-        h, w = disp.shape
-        fskr1 = mm(mat_from_focal(focal / w, focal / h), skr1)
         fskr2 = _raycast.build_fskr2(
             jnp.asarray(camera.focal_px, jnp.float32),
             float(camera.width),
             float(camera.height),
             jnp.asarray(camera.skew, jnp.float32),
         )
-        rgba, invz2, _ = _raycast.raycast_layer(
-            s2x, s2y, fskr1, pos, fskr2, jnp.zeros(3, jnp.float32),
-            rgb, disp, mask, izmin, izmax, float(w), float(h),
-            bg[:3], 0.1, mask_mode="none", **kwargs,
-        )
-        hit = rgba[..., 3] > 0.0
-        key = jnp.where(hit, invz2, -jnp.inf)
-        best = jax.lax.pmax(key, axis_name)
-        winner = hit & (key >= best)
-        # average ties (identical depths) to stay deterministic
-        count = jax.lax.psum(winner.astype(jnp.float32), axis_name)
-        color = jax.lax.psum(
-            jnp.where(winner[..., None], rgba[..., :3] * rgba[..., 3:4], 0.0),
-            axis_name,
-        )
-        alpha = jax.lax.psum(jnp.where(winner, rgba[..., 3], 0.0), axis_name)
-        denom = jnp.maximum(count, 1.0)
-        color = color / denom[..., None]
-        alpha = alpha / denom
-        out_rgb = bg[:3] * bg[3] * (1.0 - alpha[..., None]) + color
-        out_a = bg[3] + alpha * (1.0 - bg[3])
-        from ..core.color import linear_to_srgb
+        skr1 = _raycast.build_skr1(skew, rot)
 
-        img = jnp.concatenate([linear_to_srgb(out_rgb), out_a[..., None]], axis=-1)
-        return img[None]  # leading view dim back for the out_spec
+        acc_rgb = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
+        acc_a = jnp.zeros((camera.height, camera.width), jnp.float32)
+        front = jnp.zeros((camera.height, camera.width), jnp.float32)
+        for i in range(num_layers):
+            w_i = layer_res[i, 0]
+            h_i = layer_res[i, 1]
+            fskr1 = mm(
+                mat_from_focal(focal[i] / w_i, focal[i] / h_i), skr1
+            )
+            rgba, invz2, _ = _raycast.raycast_layer(
+                s2x, s2y, fskr1, pos, fskr2, jnp.zeros(3, jnp.float32),
+                rgb[i], disp[i], m_arr[i], izmin[i], izmax[i],
+                w_i, h_i, bg[:3], 0.1, mask_mode=mode, **kwargs,
+            )
+            live = (jnp.float32(i) < nlay).astype(jnp.float32)
+            a = rgba[..., 3] * live
+            acc_rgb = acc_rgb + (1.0 - acc_a[..., None]) * a[..., None] * rgba[..., :3]
+            # frontmost hit inverse depth, absolute 1/m units
+            new_hit = (a > 0.0) & (front == 0.0)
+            front = jnp.where(new_hit, invz2 / baseline, front)
+            acc_a = acc_a + (1.0 - acc_a) * a
+        view_rgba = jnp.concatenate([acc_rgb, acc_a[..., None]], axis=-1)
+        return _fuse_across_views(view_rgba, front, bg, axis_name)[None]
 
     fn = shard_map(
         view_fn,
         mesh=mesh,
-        in_specs=tuple(P(axis_name) for _ in range(9)),
+        in_specs=tuple(P(axis_name) for _ in range(12)),
         out_specs=P(axis_name, None, None, None),
         check_vma=False,
     )
+    def padL(a, pad_edge=True):
+        """Pad a per-layer leading axis to the shared num_layers (edge
+        padding keeps intrinsics/dims valid; padded layers are dead via
+        the `live` gate)."""
+        a = np.asarray(a)
+        if a.shape[0] == num_layers:
+            return a
+        reps = [(0, num_layers - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, reps, mode="edge" if pad_edge else "constant")
+
+    baselines = [float(p.baseline) for p in projectors]
     out = fn(
-        stack(rgbs), stack(disps), stack(masks), stack(poss), stack(rots),
-        stack(izmins), stack(izmaxs), stack(focals), stack(skews),
+        stack([padL(p.rgb) for p in projectors]),
+        stack([padL(p.disp) for p in projectors]),
+        stack([padL(p.mask) for p in projectors]),
+        stack([padL(p.layer_res) for p in projectors]),
+        stack([padL(np.asarray(p.invz_min) / float(p.baseline)) for p in projectors]),
+        stack([padL(np.asarray(p.invz_max) / float(p.baseline)) for p in projectors]),
+        stack([padL(p.focal) for p in projectors]),
+        stack([np.asarray(p.skew) for p in projectors]),
+        stack(poss),
+        stack(rots),
+        stack([float(c) for c in layer_counts]),
+        stack(baselines),
     )
     return out[0]  # all shards carry the same fused image
