@@ -5,28 +5,23 @@ Prints ONE JSON line:
 
 Workload: the SFMoMA reference scene (1280x800 RGB + inverse depth, single
 projector) rendered at novel poses — BASELINE.json configs[0] — with the
-production fast renderer: the Pallas first-crossing plane march
-(lif_tpu/ops/pallas/sweep_march.py, 256 hybrid quantile+uniform planes).
+production fast renderer: the Pallas first-crossing plane march on
+integer-parallax snap planes (lif_tpu/ops/pallas/sweep_march.py +
+ops/sweep_march.snap_plane_table).
 
-Fidelity (measured, see BENCH_DETAILS.json / docs/DESIGN.md for the full
-methodology): on this exact pose the mode measures >=44 dB PSNR against
-the CONVERGED ray march (the reference shader's own math run to
-convergence at 640 steps). The reference's production 40-step march
-measures ~35 dB against the same converged target — i.e. this renderer is
-MORE accurate than the reference render it re-implements, which is why
-PSNR against the 40-step march itself saturates at the reference's own
-~35 dB noise floor. vs_baseline = fps / 1000 (BASELINE.json north star).
-
-Measurement protocol (see docs/TPU_NOTES.md): all inputs device-resident,
-N sequential render dispatches with distinct poses, one scalar D2H sync at
-the end. The axon runtime reports honest timings only after a D2H, so a
-warmup sync precedes the timed loop.
+Fidelity is MEASURED IN THIS RUN, not quoted: the printed metric carries
+the PSNR of the exact benched mode against the converged ray march (the
+reference shader's math at 640 steps) at the bench pose, plus the same
+figure for the reference's own production 40-step march for context.
+Protocol (docs/TPU_NOTES.md): all inputs device-resident, N sequential
+render dispatches with distinct poses, one scalar D2H sync at the end;
+a warmup D2H precedes timing (the axon runtime reports honest timings
+only after the first sync).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import numpy as np
@@ -34,16 +29,14 @@ import numpy as np
 BASELINE_FPS = 1000.0  # BASELINE.json north star, v5e target
 W, H = 1280, 800
 FRAMES = 20
-NUM_PLANES = 256
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from lif_tpu import Camera, load_lif_file
     from lif_tpu.io import container
-    from lif_tpu.models.renderer import render_fast_view
+    from lif_tpu.models.renderer import render_fast_view, render_mono_view
 
     jpeg = open("/root/reference/public/assets/rgb.jpg", "rb").read()
     depth = open("/root/reference/public/assets/depth.png", "rb").read()
@@ -61,11 +54,11 @@ def main():
     proj = result.projectors[0].to_device()
     focal = float(proj.focal[0])
 
+    def cam(x):
+        return Camera.create(W, H, focal_px=focal, position=[x, 0.0, 0.0])
+
     def render(x):
-        cam = Camera.create(W, H, focal_px=focal, position=[x, 0.0, 0.0])
-        img = render_fast_view(
-            proj, cam, method="march", num_planes=NUM_PLANES
-        )
+        img = render_fast_view(proj, cam(x), method="march")
         return jnp.sum(img) * 1e-9  # tiny on-device reduction per frame
 
     xs = [0.135 + 0.001 * i for i in range(FRAMES)]
@@ -81,32 +74,30 @@ def main():
         _ = float(jnp.sum(jnp.stack(acc)))  # one sync for the whole batch
         fps_best = max(fps_best, FRAMES / (time.time() - t0))
 
-    quality = ""
-    if os.path.exists("BENCH_DETAILS.json"):
-        try:
-            d = json.load(open("BENCH_DETAILS.json"))
-            q = d.get("config0_fixed_novel_view", {})
-            if "march_psnr_vs_converged_dB" in q:
-                quality = (
-                    f"; measured {q['march_psnr_vs_converged_dB']} dB vs the "
-                    f"converged ray march (the reference's own 40-step march "
-                    f"measures {q.get('reference40_psnr_vs_converged_dB', '~35')} dB)"
-                )
-        except Exception:
-            pass
-    if not quality:
-        quality = (
-            "; measured 44.4 dB vs the converged ray march (the reference's "
-            "own 40-step march measures 35.4 dB vs the same target)"
-        )
+    # measured fidelity of the EXACT benched mode at the bench pose
+    def psnr(a, b):
+        mse = np.mean((a[..., :3] - b[..., :3]) ** 2)
+        return 10 * np.log10(1.0 / max(float(mse), 1e-12))
+
+    bench_img = np.asarray(render_fast_view(proj, cam(xs[0]), method="march"))
+    conv = np.asarray(
+        render_mono_view(proj, cam(xs[0]), mask_mode="none", num_steps=640)
+    )
+    ref40 = np.asarray(
+        render_mono_view(proj, cam(xs[0]), mask_mode="none", num_steps=40)
+    )
+    q_bench = psnr(bench_img, conv)
+    q_ref40 = psnr(ref40, conv)
 
     print(
         json.dumps(
             {
                 "metric": (
                     "novel-view frames/sec/chip @1280x800 (SFMoMA, Pallas "
-                    f"first-crossing plane march, {NUM_PLANES} planes"
-                    + quality + ")"
+                    "integer-parallax snap-plane march; measured this run: "
+                    f"{q_bench:.1f} dB vs the converged 640-step ray march "
+                    f"at the bench pose, where the reference's own 40-step "
+                    f"production march measures {q_ref40:.1f} dB)"
                 ),
                 "value": round(fps_best, 3),
                 "unit": "frames/sec/chip",

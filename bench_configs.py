@@ -3,16 +3,20 @@
 Writes BENCH_DETAILS.json. The driver-facing single metric stays in
 bench.py; this script is the complete evidence table:
 
-  0. SFMoMA single projector, one fixed novel view
-  1. 120-frame orbit trajectory (rotation -> the two-phase fast path)
-  2. stereo pair, batched L/R views
+  0. SFMoMA single projector, one fixed novel view (snap-plane march)
+  1. 120-frame orbit trajectory (rotation -> batched rotated fast path)
+  2. stereo pairs through the REAL two-view blend kernel
+     (render_stereo_fast_batch: view weight + occlusion fill + blend)
   3. 3-layer LDI with occlusion-aware alpha compositing
-  4. multi-projector fusion (single-chip equivalent; the sharded path is
-     validated on the virtual CPU mesh in tests/test_parallel.py)
+  4. 4-projector fused compositing at 3840x2160 (single-chip
+     render_fused_fast; the cross-chip sharded path with the identical
+     merge spec is validated on the virtual CPU mesh in
+     tests/test_fusion.py)
 
-Quality is reported as PSNR of each fast mode against the exact ray-march
-renderer on the same pose (the march is golden-tested against a float64
-oracle of the reference shader spec).
+Quality is reported as PSNR of the benched mode against the CONVERGED
+ray-march renderer (640 steps) on the same pose; the reference's own
+production 40-step march is measured against the same target for
+context. All inputs device-resident; one D2H sync per timed batch.
 """
 
 from __future__ import annotations
@@ -31,20 +35,10 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
-def _fps(render_fn, poses, reps=2):
-    """Best of `reps` timed batches (the first batch after a compile often
-    carries queue noise on the axon runtime)."""
-    import jax.numpy as jnp
-
-    out = render_fn(poses[0])
-    _sync(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        outs = [jnp.sum(render_fn(p)) for p in poses]
-        _sync(jnp.stack(outs))
-        best = min(best, (time.time() - t0) / len(poses))
-    return 1.0 / best, best * 1000.0
+def _psnr(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    mse = np.mean((a[..., :3] - b[..., :3]) ** 2)
+    return 10 * np.log10(1.0 / max(float(mse), 1e-12))
 
 
 def main():
@@ -52,7 +46,13 @@ def main():
 
     from lif_tpu import Camera, load_lif_file, render, orbit_pose
     from lif_tpu.io import container
-    from lif_tpu.train.losses import psnr as _psnr
+    from lif_tpu.models.renderer import (
+        render_fast_batch,
+        render_fast_view,
+        render_fused_fast,
+        render_stereo_fast_batch,
+    )
+    from lif_tpu.models.projector import resample_projector
 
     # --- build the SFMoMA LIF in memory ---
     jpeg = open("/root/reference/public/assets/rgb.jpg", "rb").read()
@@ -67,8 +67,7 @@ def main():
         "baseline_mm": 45.0,
         "stereo_render_data": {"invd": 0.045},
     }
-    lif = container.write(jpeg, meta, {20: depth})
-    result = load_lif_file(lif)
+    result = load_lif_file(container.write(jpeg, meta, {20: depth}))
     proj = result.projectors[0].to_device()
     focal = float(proj.focal[0])
     results = {}
@@ -76,77 +75,102 @@ def main():
     def cam_at(pos, rot=None):
         return Camera.create(W, H, focal_px=focal, position=pos, rotation=rot)
 
-    # ---- config 0: fixed novel view ----
+    # ---- config 0: fixed novel view, snap-plane march ----
     fixed_pos = np.array([0.135, 0.0, 0.0])
-    img_march = render(proj, cam_at(fixed_pos), mode="raycast", mask_mode="none")
-    img_fast = render(proj, cam_at(fixed_pos), mode="fast")
-    img_exact = render(proj, cam_at(fixed_pos), mode="fast", exact_color=True)
-    q_fast = float(_psnr(img_fast, img_march))
-    q_exact = float(_psnr(img_exact, img_march))
+    img_snap = render_fast_view(proj, cam_at(fixed_pos), method="march")
+    conv = render(proj, cam_at(fixed_pos), mode="raycast", mask_mode="none",
+                  num_steps=640)
+    ref40 = render(proj, cam_at(fixed_pos), mode="raycast", mask_mode="none",
+                   num_steps=40)
+    q_snap = float(_psnr(img_snap, conv))
+    q_ref40 = float(_psnr(ref40, conv))
 
     poses0 = [fixed_pos + [0.001 * i, 0, 0] for i in range(20)]
-    fps_fast, ms_fast = _fps(lambda p: render(proj, cam_at(p), mode="fast"), poses0)
-    fps_exact, ms_exact = _fps(
-        lambda p: render(proj, cam_at(p), mode="fast", exact_color=True), poses0
-    )
-    fps_march, ms_march = _fps(
-        lambda p: render(proj, cam_at(p), mode="raycast", mask_mode="none"),
-        poses0[:3],
-    )
+    _ = _sync(render_fast_view(proj, cam_at(poses0[0]), method="march"))
+    fps_seq = 0.0
+    for _rep in range(3):
+        t0 = time.time()
+        outs = [jnp.sum(render_fast_view(proj, cam_at(p), method="march"))
+                for p in poses0]
+        _sync(jnp.stack(outs))
+        fps_seq = max(fps_seq, len(poses0) / (time.time() - t0))
+    cams0 = [cam_at(p) for p in poses0]
+    _ = _sync(render_fast_batch(proj, cams0))
+    fps_batch = 0.0
+    for _rep in range(3):
+        t0 = time.time()
+        _sync(render_fast_batch(proj, cams0))
+        fps_batch = max(fps_batch, len(cams0) / (time.time() - t0))
+    t0 = time.time()
+    _sync(render(proj, cam_at(poses0[0]), mode="raycast", mask_mode="none"))
+    fps_march40 = 1.0 / (time.time() - t0)
     results["config0_fixed_novel_view"] = {
-        "march_exact_fps": round(fps_march, 2),
-        "fast_fps": round(fps_fast, 1),
-        "fast_psnr_vs_march_dB": round(q_fast, 1),
-        "exact_color_fps": round(fps_exact, 1),
-        "exact_color_psnr_vs_march_dB": round(q_exact, 1),
+        "snap_march_fps_sequential": round(fps_seq, 1),
+        "snap_march_fps_batch20": round(fps_batch, 1),
+        "snap_march_psnr_vs_converged_dB": round(q_snap, 2),
+        "reference40_psnr_vs_converged_dB": round(q_ref40, 2),
+        "reference40_march_fps": round(fps_march40, 2),
     }
     print("config0:", results["config0_fixed_novel_view"], flush=True)
 
-    # ---- config 1: 120-frame orbit (rotation -> rotated fast path) ----
+    # ---- config 1: 120-frame orbit, batched rotated fast path ----
     orbit_poses = [
         orbit_pose(result.orbit_center, 1.0, theta=np.deg2rad(t))
         for t in np.linspace(-15, 15, 120)
     ]
     cams = [cam_at(p, r) for p, r in orbit_poses]
-    x = render(proj, cams[0], mode="fast")
-    _sync(x)
+    chunk = 24
+    def orbit_pass():
+        acc = []
+        for lo in range(0, len(cams), chunk):
+            out = render_fast_batch(proj, cams[lo : lo + chunk])
+            acc.append(jnp.sum(out))
+        _sync(jnp.stack(acc))
+    orbit_pass()  # compile all chunks
     t0 = time.time()
-    outs = [jnp.sum(render(proj, c, mode="fast")) for c in cams]
-    _sync(jnp.stack(outs))
+    orbit_pass()
     dt = (time.time() - t0) / len(cams)
     results["config1_orbit_120"] = {
         "frames": 120,
-        "fast_rotated_fps": round(1.0 / dt, 1),
+        "batched_rotated_fps": round(1.0 / dt, 1),
         "ms_per_frame": round(dt * 1000, 1),
+        "chunk": chunk,
     }
     print("config1:", results["config1_orbit_120"], flush=True)
 
-    # ---- config 2: stereo pair, batched L/R ----
-    eye = 0.032
-    cam_l = cam_at(np.array([-eye, 0, 0]))
-    cam_r = cam_at(np.array([eye, 0, 0]))
-    x = render(proj, cam_l, mode="fast")
-    _sync(x)
-    t0 = time.time()
-    n_pairs = 10
-    outs = []
+    # ---- config 2: stereo pairs via the real two-view blend kernel ----
+    eye = 0.0225  # half the 45 mm baseline
+    left = result.projectors[0].replace(
+        position=np.asarray([-eye, 0.0, 0.0], np.float32)
+    ).to_device()
+    right = result.projectors[0].replace(
+        position=np.asarray([eye, 0.0, 0.0], np.float32)
+    ).to_device()
+    n_pairs = 8
+    stereo_cams = []
     for i in range(n_pairs):
-        dx = 0.001 * i
-        outs.append(jnp.sum(render(proj, cam_at([-eye + dx, 0, 0]), mode="fast")))
-        outs.append(jnp.sum(render(proj, cam_at([eye + dx, 0, 0]), mode="fast")))
-    _sync(jnp.stack(outs))
-    dt = (time.time() - t0) / n_pairs
+        dx = 0.004 * i
+        stereo_cams.append(cam_at([-eye + dx, 0, 0]))
+        stereo_cams.append(cam_at([eye + dx, 0, 0]))
+    _ = _sync(render_stereo_fast_batch(left, right, stereo_cams))
+    best = 0.0
+    for _rep in range(3):
+        t0 = time.time()
+        _sync(render_stereo_fast_batch(left, right, stereo_cams))
+        best = max(best, n_pairs / (time.time() - t0))
     results["config2_stereo_pair"] = {
-        "stereo_pairs_per_sec_fast": round(1.0 / dt, 1),
-        "ms_per_pair": round(dt * 1000, 1),
-        "note": "two-view blended kernel (ops/stereo) is march-exact but gather-bound",
+        "stereo_pairs_per_sec": round(best, 1),
+        "ms_per_pair": round(1000.0 / best, 1),
+        "kernel": (
+            "two-view blend (view weight + occlusion fill, "
+            "rayCastStereoLDI semantics) on the batched snap-plane march"
+        ),
     }
     print("config2:", results["config2_stereo_pair"], flush=True)
 
     # ---- config 3: 3-layer LDI compositing ----
     from lif_tpu import projector_from_arrays
 
-    rng = np.random.default_rng(0)
     rgb0 = np.asarray(result.projectors[0].rgb[0])
     disp0 = np.asarray(result.projectors[0].disp[0])
     layers = []
@@ -161,41 +185,54 @@ def main():
         rgb0, disp0, focal_px=focal, invz_min=0.09, invz_max=0.0001,
         baseline=0.045, extra_layers=layers,
     ).to_device()
-    x = render(proj3, cam_at(fixed_pos), mode="fast")
-    _sync(x)
-    t0 = time.time()
-    outs = [jnp.sum(render(proj3, cam_at(p), mode="fast")) for p in poses0[:10]]
-    _sync(jnp.stack(outs))
-    dt = (time.time() - t0) / 10
+    cams3 = [cam_at(p) for p in poses0]
+    _ = _sync(render_fast_batch(proj3, cams3))
+    best = 0.0
+    for _rep in range(3):
+        t0 = time.time()
+        _sync(render_fast_batch(proj3, cams3))
+        best = max(best, len(cams3) / (time.time() - t0))
     results["config3_ldi_3layer"] = {
         "layers": 3,
-        "fast_fps": round(1.0 / dt, 1),
-        "ms_per_frame": round(dt * 1000, 1),
+        "fast_fps_batch20": round(best, 1),
+        "ms_per_frame": round(1000.0 / best, 1),
     }
     print("config3:", results["config3_ldi_3layer"], flush=True)
 
-    # ---- config 4: multi-projector fusion (single-chip equivalent) ----
-    projs4 = [result.projectors[0].to_device() for _ in range(4)]
-    x = [render(p, cam_at(fixed_pos + [0.01 * i, 0, 0]), mode="fast")
-         for i, p in enumerate(projs4)]
-    _sync(jnp.stack([jnp.sum(v) for v in x]))
-    t0 = time.time()
-    n = 5
-    for j in range(n):
-        outs = [jnp.sum(render(p, cam_at(fixed_pos + [0.01 * i + 0.001 * j, 0, 0]),
-                               mode="fast")) for i, p in enumerate(projs4)]
-    _sync(jnp.stack(outs))
-    dt = (time.time() - t0) / n
-    results["config4_multi_projector"] = {
+    # ---- config 4: 4-projector fused compositing at 3840x2160 ----
+    W4, H4 = 3840, 2160
+    scale = W4 / W
+    base4 = resample_projector(result.projectors[0], scale, out_w=W4, out_h=H4)
+    projs4 = [
+        base4.replace(position=np.asarray([0.02 * i, 0.0, 0.0], np.float32))
+        .to_device()
+        for i in range(4)
+    ]
+    focal4 = float(projs4[0].focal[0])
+    def cam4(x):
+        return Camera.create(W4, H4, focal_px=focal4, position=[x, 0.0, 0.0])
+    _ = _sync(render_fused_fast(projs4, cam4(0.05)))
+    best = 0.0
+    n = 4
+    for _rep in range(2):
+        t0 = time.time()
+        acc = [jnp.sum(render_fused_fast(projs4, cam4(0.05 + 0.002 * j)))
+               for j in range(n)]
+        _sync(jnp.stack(acc))
+        best = max(best, n / (time.time() - t0))
+    results["config4_multi_projector_4k"] = {
         "projectors": 4,
-        "fused_frames_per_sec_single_chip": round(1.0 / dt, 1),
+        "resolution": f"{W4}x{H4}",
+        "fused_frames_per_sec_single_chip": round(best, 2),
         "note": (
-            "cross-chip sharded fusion (pmax/psum over a view axis) is in "
-            "lif_tpu.parallel and validated on the virtual 8-device mesh; "
-            "only one physical chip is available here"
+            "render_fused_fast: full-LDI per-projector march + nearest-"
+            "surface merge at 4K on one chip; the cross-chip shard_map "
+            "fusion (pmax/psum over the view axis) implements the same "
+            "merge spec and is validated on the virtual 8-device mesh "
+            "(tests/test_fusion.py) — only one physical chip is here"
         ),
     }
-    print("config4:", results["config4_multi_projector"], flush=True)
+    print("config4:", results["config4_multi_projector_4k"], flush=True)
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=2)

@@ -17,7 +17,12 @@ from flax import struct
 from ..core import pose as _pose
 from ..io import decode as _decode
 
-__all__ = ["Projector", "projector_from_arrays", "projector_from_lif_view"]
+__all__ = [
+    "Projector",
+    "projector_from_arrays",
+    "projector_from_lif_view",
+    "resample_projector",
+]
 
 MAX_LAYERS = 4  # reference: RaycastPlane.ts:218
 
@@ -257,4 +262,60 @@ def projector_from_lif_view(view: dict, baseline_meters: float = 0.063) -> Proje
         position=position,
         rotation=rotation,
         baseline=baseline_meters,
+    )
+
+
+def resample_projector(
+    projector: Projector,
+    scale: float,
+    out_w: int | None = None,
+    out_h: int | None = None,
+) -> Projector:
+    """Bilinearly resample every layer by `scale` (focal scales with it),
+    optionally center-cropping to (out_w, out_h).
+
+    The offline analog of the reference's viewport scaling
+    (textureUtils.ts:126-136 calculateViewportScale): rendering at an
+    output resolution other than the source's. A center crop keeps the
+    principal point centered, so the resampled projector stays valid for
+    the centered-pp fast paths; inverse-depth ranges and pose are
+    resolution-independent and unchanged. Used by the 4K fused-projector
+    benchmark (BASELINE configs[4]) to feed the lateral march, whose
+    output dims must equal the source dims.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = projector.num_layers
+    layers = []
+    for i in range(n):
+        w_i = int(projector.layer_res[i, 0])
+        h_i = int(projector.layer_res[i, 1])
+        nw, nh = round(w_i * scale), round(h_i * scale)
+        rgb = jax.image.resize(
+            jnp.asarray(projector.rgb[i, :h_i, :w_i]), (nh, nw, 3), "bilinear"
+        )
+        disp = jax.image.resize(
+            jnp.asarray(projector.disp[i, :h_i, :w_i]), (nh, nw), "bilinear"
+        )
+        m = jax.image.resize(
+            jnp.asarray(projector.mask[i, :h_i, :w_i]), (nh, nw), "bilinear"
+        )
+        cw = min(out_w or nw, nw)
+        ch = min(out_h or nh, nh)
+        x0, y0 = (nw - cw) // 2, (nh - ch) // 2
+        layers.append(dict(
+            rgb=np.asarray(rgb[y0 : y0 + ch, x0 : x0 + cw]),
+            disp=np.asarray(disp[y0 : y0 + ch, x0 : x0 + cw]),
+            mask=np.asarray(m[y0 : y0 + ch, x0 : x0 + cw]),
+            focal_px=float(projector.focal[i]) * scale,
+            invz_min=float(projector.invz_min[i]),
+            invz_max=float(projector.invz_max[i]),
+        ))
+    return _stack_layers(
+        layers,
+        skew=np.asarray(projector.skew),
+        position=np.asarray(projector.position),
+        rotation=np.asarray(projector.rotation),
+        baseline=float(projector.baseline),
     )

@@ -351,8 +351,19 @@ def render_fast_view(
         plane_mode=("uniform" if snap else cfg.plane_mode)
         if marching else "hybrid",
     )
-    if not prepared["skew_ok"] or float(np.abs(np.asarray(camera.skew)).sum()) > 1e-9:
-        raise ValueError("render_fast_view does not support skewed frustums")
+    # frustum skew (sk1 source / sk2 camera): for unrotated views it is a
+    # CONSTANT pixel shift -f1*(sk1-sk2) (P = F1*S(sk1-sk2)*F2^-1,
+    # rayCastMonoLDI.glsl:316-332), folded into a one-time source
+    # pre-shift on the march path (sweep_march.preshift_source). The
+    # sweep fallback does not support it.
+    sk1 = np.asarray(projector.skew, np.float64)
+    sk2 = np.asarray(camera.skew, np.float64)
+    skewed = bool(np.abs(sk1 - sk2).sum() > 1e-12)
+    if skewed and not marching:
+        raise ValueError(
+            "skewed frustums are supported only on the lateral march "
+            "path (no rotation, x-only translation)"
+        )
 
     f2_host = float(camera.focal_px)
 
@@ -382,8 +393,10 @@ def render_fast_view(
             # cap the pad plan: a shift beyond src+out width puts every
             # plane fully outside the source (alpha 0 via the inside/taper
             # gate), so larger pads only waste VMEM on extreme poses
+            dxs_l = abs(lay["focal_host"] * float(sk1[0] - sk2[0])) + 1.0
             max_shift = min(
-                lay["focal_host"] * abs(float(pos_np[0])) * lay["izmin_host"],
+                lay["focal_host"] * abs(float(pos_np[0])) * lay["izmin_host"]
+                + dxs_l,
                 float(lay["w"] + camera.width),
             )
             plans.append(
@@ -396,22 +409,31 @@ def render_fast_view(
             plans.append(None)
         use_march.append(m)
 
+    if skewed and not all(use_march):
+        raise ValueError(
+            "skewed frustums need every layer on the march path "
+            "(matched focal and dims)"
+        )
+
     # per-layer plane tables + static counts: snap grids are pose- and
     # layer-range-dependent (host math, ~K floats/frame)
     nums = []
     tables = []
+    doffs = []
     for lay, m in zip(prepared["layers"], use_march):
+        d = -lay["focal_host"] * (sk1 - sk2)
         if m and snap:
             tab, k_l = _sweep_march.snap_plane_table(
                 lay["focal_host"], float(pos_np[0]),
                 lay["izmin_host"], lay["izmax_host"],
-                num_planes=explicit_planes,
+                num_planes=explicit_planes, phase_px=float(d[0]),
             )
             tables.append(jnp.asarray(tab))
             nums.append(k_l)
         else:
             tables.append(lay["plane_invz"])
             nums.append(num_planes)
+        doffs.append(jnp.asarray(d, jnp.float32))
 
     core = _fast_core_jit(
         plans=tuple(plans),
@@ -426,14 +448,15 @@ def render_fast_view(
         to_srgb=to_srgb,
         out_w=camera.width,
         out_h=camera.height,
+        skewed=skewed,
     )
     layer_args = tuple(
         dict(
             rgb=lay["rgb"], disp=lay["disp"], mask=lay["mask"],
             focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
-            plane_invz=tab,
+            plane_invz=tab, doff=doff,
         )
-        for lay, tab in zip(prepared["layers"], tables)
+        for lay, tab, doff in zip(prepared["layers"], tables, doffs)
     )
     return core(
         layer_args, c1, rot1, jnp.float32(f2_host),
@@ -979,6 +1002,7 @@ def _fast_core(
     to_srgb,
     out_w,
     out_h,
+    skewed=False,
 ):
     """The traced body of render_fast_view: per-layer fast kernels +
     front-to-back LDI compositing + background blend + gamma."""
@@ -987,12 +1011,24 @@ def _fast_core(
     result_a = None
     for lay, plan, m, k_l in zip(layers, plans, use_march, nums):
         if m:
+            rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+            offset = (0.0, 0.0)
+            if skewed:
+                # x rides the warp tables (snap grid phase-matched so the
+                # total shift stays integer); y is a separable constant
+                # lerp folded into the source — both march-exact
+                d = lay["doff"]
+                rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
+                disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
+                mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
+                offset = (d[0], d[1])
             layer = _sweep_march.render_translation(
-                lay["rgb"], lay["disp"], lay["mask"],
+                rgb_l, disp_l, mask_l,
                 lay["izmin"], lay["izmax"], c1, lay["focal"],
                 lay["plane_invz"], zero_bg,
                 plan=plan, num_planes=k_l, refine=refine,
                 feathering=feathering, mask_mode=mask_mode, to_srgb=False,
+                offset=offset,
             )
         else:
             common = dict(

@@ -383,6 +383,7 @@ def render_translation_batch_pallas(
     to_srgb: bool = True,
     refine: int = 0,
     raw: bool = False,
+    offset=(0.0, 0.0),
     interpret: bool = False,
 ):
     """Batched equivalent of sweep_march.render_translation_xla on TPU for
@@ -401,7 +402,7 @@ def render_translation_batch_pallas(
     if invz.ndim == 1:
         invz = jnp.broadcast_to(invz, (batch, invz.shape[0]))
     ix_t, fx_t, _, _ = jax.vmap(
-        lambda cc, pp: plane_tables(plan, pp, cc, f1)
+        lambda cc, pp: plane_tables(plan, pp, cc, f1, dx=offset[0])
     )(c1, invz)
 
     # transposed (channels, x, y) stack; x edge-padded for the shift range,
@@ -430,7 +431,7 @@ def render_translation_batch_pallas(
     return jax.vmap(
         lambda f, r, rg, cc: _finalize(
             plan, f, r, rg, cc, f1, izmin, background,
-            feathering, mask_mode, to_srgb, raw=raw,
+            feathering, mask_mode, to_srgb, raw=raw, offset=offset,
         )
     )(found, rstar, rgba_star, c1)
 
@@ -452,6 +453,7 @@ def render_translation_pallas(
     to_srgb: bool = True,
     refine: int = 0,
     raw: bool = False,
+    offset=(0.0, 0.0),
     interpret: bool = False,
 ):
     """Single-pose wrapper: a batch of 1 through the batched kernel."""
@@ -460,7 +462,7 @@ def render_translation_pallas(
         jnp.asarray(c1, jnp.float32)[None], f1, plane_invz, background,
         plan=plan, num_planes=num_planes, feathering=feathering,
         mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
-        interpret=interpret,
+        offset=offset, interpret=interpret,
     )
     if raw:
         return out[0][0], out[1][0], out[2][0], out[3][0]

@@ -68,6 +68,7 @@ def snap_plane_table(
     num_planes: int | None = None,
     bucket: int = 64,
     max_planes: int = 1024,
+    phase_px: float = 0.0,
 ):
     """Integer-parallax plane grid for one lateral pose (host math).
 
@@ -93,7 +94,8 @@ def snap_plane_table(
     When num_planes is given it overrides the bucketed size (must be >=
     the snap count after subsampling).
     """
-    s = abs(float(f1) * float(cx))
+    a = -float(f1) * float(cx)  # total shift(invz) = a*invz + phase_px
+    s = abs(a)
     r = izmin - izmax
     cap = min(max_planes, num_planes) if num_planes else max_planes
     if s * r < 1.0 or cap < 4:
@@ -101,15 +103,22 @@ def snap_plane_table(
         # whole range is one linear bracket)
         grid = [izmin, izmax]
     else:
-        n_hi = math.floor(s * izmin)
-        n_lo = math.ceil(s * izmax)
+        # planes where the TOTAL shift a*invz + phase_px is an integer:
+        # phase_px (the constant skew term applied through the warp
+        # tables) phase-shifts the grid so warps stay exact translates
+        s_lo, s_hi = sorted((a * izmax + phase_px, a * izmin + phase_px))
+        m_lo = math.ceil(s_lo)
+        m_hi = math.floor(s_hi)
         stride = 1
-        while (n_hi - n_lo) // stride + 3 > cap:
+        while (m_hi - m_lo) // stride + 3 > cap:
             stride *= 2
-        ints = np.arange(n_hi, n_lo - 1, -stride, dtype=np.float64) / s
+        vals = (
+            np.arange(m_lo, m_hi + 1, stride, dtype=np.float64) - phase_px
+        ) / a
+        vals = np.sort(vals)[::-1]  # descending invz
         grid = [izmin]
         eps = r * 1e-7
-        for v in ints:
+        for v in vals:
             if izmax + eps < v < izmin - eps:
                 grid.append(float(v))
         grid.append(izmax)
@@ -132,6 +141,7 @@ def snap_plane_tables_batch(
     num_planes: int | None = None,
     bucket: int = 64,
     max_planes: int = 1024,
+    phase_px: float = 0.0,
 ):
     """Per-pose snap grids padded to one shared bucketed K.
     Returns (plane_invz float32 (B, K), K)."""
@@ -140,12 +150,12 @@ def snap_plane_tables_batch(
     else:
         k = max(
             snap_plane_table(f1, cx, izmin, izmax, bucket=bucket,
-                             max_planes=max_planes)[1]
+                             max_planes=max_planes, phase_px=phase_px)[1]
             for cx in cxs
         )
     tabs = [
         snap_plane_table(f1, cx, izmin, izmax, num_planes=k, bucket=bucket,
-                         max_planes=max_planes)[0]
+                         max_planes=max_planes, phase_px=phase_px)[0]
         for cx in cxs
     ]
     return np.stack(tabs), k
@@ -227,9 +237,11 @@ def translation_plan(
     )
 
 
-def plane_tables(plan: TranslationPlan, plane_invz, c1, f1):
+def plane_tables(plan: TranslationPlan, plane_invz, c1, f1, dx=0.0):
     """Per-plane slice tables (traced): window starts + bilinear fractions.
 
+    dx: constant extra x-shift in pixels (the frustum-skew fold); snap
+    grids built with the matching phase_px keep the TOTAL shift integer.
     Returns (ix, fx, iy, fy) each of shape (K,); ix/iy int32 window starts
     into the padded source, fx/fy float32 fractional offsets.
     """
@@ -238,7 +250,7 @@ def plane_tables(plan: TranslationPlan, plane_invz, c1, f1):
     c1 = jnp.asarray(c1, jnp.float32)
     bx = (plan.src_w - plan.out_w) / 2.0
     by = (plan.src_h - plan.out_h) / 2.0
-    tx = bx - f1 * c1[0] * invz + plan.pad_lo_x
+    tx = bx - f1 * c1[0] * invz + dx + plan.pad_lo_x
     ty = by - f1 * c1[1] * invz + plan.pad_lo_y
     # saturate out-of-plan shifts at the pad border (edge-clamp behaviour;
     # visibility is zero out there anyway)
@@ -268,6 +280,47 @@ def _smoothstep(e0, e1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
+def preshift_source(arr, dx, dy):
+    """Constant bilinear shift with edge clamp: out(x, y) = arr(x+dx, y+dy)
+    (sampling positions clamped to the array).
+
+    Folds the CONSTANT part of a warp — the frustum-skew term
+    -f1*(sk1-sk2), which is invz-independent for unrotated views
+    (rayCastMonoLDI.glsl:316-332 with R=I: P = F1*S(sk1-sk2)*F2^-1 is an
+    upper-triangular shear, contributing a fixed pixel offset) — into the
+    source ONCE, so the per-plane march warps stay pure parallax
+    translations. Under snap planes the subsequent warps are integer
+    translates of this pre-shifted source, so the fold is exact (one
+    bilinear evaluation, the same count the direct skewed march pays).
+    arr: (..., H, W) or (H, W, C) handled as trailing spatial dims (H, W)
+    when 2-D, else (H, W, C)."""
+    a = jnp.asarray(arr, jnp.float32)
+    spatial_last = a.ndim == 2
+    if not spatial_last and a.ndim != 3:
+        raise ValueError(a.shape)
+    h, w = a.shape[:2]
+    ix = jnp.floor(jnp.asarray(dx, jnp.float32))
+    iy = jnp.floor(jnp.asarray(dy, jnp.float32))
+    fx = jnp.asarray(dx, jnp.float32) - ix
+    fy = jnp.asarray(dy, jnp.float32) - iy
+    xs = jnp.clip(
+        jnp.arange(w, dtype=jnp.float32) + ix, 0, w - 1
+    ).astype(jnp.int32)
+    xs1 = jnp.clip(xs + 1, 0, w - 1)
+    ys = jnp.clip(
+        jnp.arange(h, dtype=jnp.float32) + iy, 0, h - 1
+    ).astype(jnp.int32)
+    ys1 = jnp.clip(ys + 1, 0, h - 1)
+
+    def gx(m):  # horizontal lerp
+        return m[:, xs] * (1.0 - fx) + m[:, xs1] * fx
+
+    def gy(m):  # vertical lerp
+        return m[ys] * (1.0 - fy) + m[ys1] * fy
+
+    return gy(gx(a))
+
+
 def hit_and_alpha(
     plan: TranslationPlan,
     found,
@@ -277,6 +330,7 @@ def hit_and_alpha(
     f1,
     feathering: float,
     mask_mode: str,
+    offset=(0.0, 0.0),
 ):
     """Hit validity + composite alpha for the solved surface.
 
@@ -297,8 +351,10 @@ def hit_and_alpha(
     iy = jnp.arange(plan.out_h, dtype=jnp.float32)[:, None]
     bx = (plan.src_w - plan.out_w) / 2.0
     by = (plan.src_h - plan.out_h) / 2.0
-    gx = jx + bx - f1 * c1[0] * invz_star
-    gy = iy + by - f1 * c1[1] * invz_star
+    # offset: the constant (skew) shift folded into the pre-shifted
+    # source; validity must test the TRUE source position
+    gx = jx + bx - f1 * c1[0] * invz_star + offset[0]
+    gy = iy + by - f1 * c1[1] * invz_star + offset[1]
     u1 = (gx + 0.5) / plan.src_w
     v1 = (gy + 0.5) / plan.src_h
     inside = (
@@ -359,6 +415,7 @@ def _finalize(
     mask_mode: str,
     to_srgb: bool,
     raw: bool = False,
+    offset=(0.0, 0.0),
 ):
     """Hit validity, taper, mask, premultiply, background blend.
 
@@ -367,7 +424,8 @@ def _finalize(
     multi-projector depth fusion consume these per view before
     compositing (ops/stereo semantics; parallel fusion)."""
     hit, alpha = hit_and_alpha(
-        plan, found, invz_star, rgba_star, c1, f1, feathering, mask_mode
+        plan, found, invz_star, rgba_star, c1, f1, feathering, mask_mode,
+        offset=offset,
     )
     if raw:
         return rgba_star, alpha, hit, invz_star
@@ -404,6 +462,7 @@ def render_translation_xla(
     to_srgb: bool = True,
     refine: int = 0,
     raw: bool = False,
+    offset=(0.0, 0.0),
 ):
     """XLA oracle: rolled fori_loop over planes (CPU-fast, TPU-slow).
 
@@ -429,7 +488,11 @@ def render_translation_xla(
     izmin = jnp.asarray(invz_min, jnp.float32)
     izmax = jnp.asarray(invz_max, jnp.float32)
     invz = jnp.asarray(plane_invz, jnp.float32)
-    ix_t, fx_t, iy_t, fy_t = plane_tables(plan, invz, c1, f1)
+    # offset[0]: the constant skew x-shift rides the warp tables (single
+    # bilinear, march-exact); offset[1] is pre-applied by the caller via
+    # preshift_source (separable, so also exact) and only affects
+    # validity in _finalize
+    ix_t, fx_t, iy_t, fy_t = plane_tables(plan, invz, c1, f1, dx=offset[0])
     tx_t = ix_t.astype(jnp.float32) + fx_t
     ty_t = iy_t.astype(jnp.float32) + fy_t
     dpad, cpad = pad_sources(plan, rgb, disp, mask)
@@ -525,7 +588,7 @@ def render_translation_xla(
     )
     return _finalize(
         plan, found, invz_star, rgba_star, c1, f1, izmin, background,
-        feathering, mask_mode, to_srgb, raw=raw,
+        feathering, mask_mode, to_srgb, raw=raw, offset=offset,
     )
 
 
@@ -546,6 +609,7 @@ def render_translation(
     to_srgb: bool = True,
     refine: int = 0,
     raw: bool = False,
+    offset=(0.0, 0.0),
 ):
     """Backend dispatch: Pallas kernel on TPU, XLA fori_loop elsewhere."""
     if jax.default_backend() == "cpu":
@@ -553,6 +617,7 @@ def render_translation(
             rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
             background, plan, num_planes, feathering=feathering,
             mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
+            offset=offset,
         )
     from .pallas.sweep_march import render_translation_pallas
 
@@ -560,6 +625,7 @@ def render_translation(
         rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
         background, plan, num_planes, feathering=feathering,
         mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
+        offset=offset,
     )
 
 
@@ -580,6 +646,7 @@ def render_translation_batch(
     to_srgb: bool = True,
     refine: int = 0,
     raw: bool = False,
+    offset=(0.0, 0.0),
 ):
     """Pose-batched dispatch: ONE Pallas launch for the whole batch on TPU
     (poses iterate innermost over the resident source window — one source
@@ -597,6 +664,7 @@ def render_translation_batch(
                 rgb, disp, mask, invz_min, invz_max, cc, f1, pp,
                 background, plan, num_planes, feathering=feathering,
                 mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
+                offset=offset,
             )
         )(jnp.asarray(c1, jnp.float32), plane_b)
     from .pallas.sweep_march import render_translation_batch_pallas
@@ -605,4 +673,5 @@ def render_translation_batch(
         rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
         background, plan, num_planes, feathering=feathering,
         mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
+        offset=offset,
     )
