@@ -49,7 +49,7 @@ def main():
     from lif_tpu.models.renderer import (
         render_fast_batch,
         render_fast_view,
-        render_fused_fast,
+        render_fused_fast_batch,
         render_stereo_fast_batch,
     )
     from lif_tpu.models.projector import resample_projector
@@ -209,16 +209,17 @@ def main():
         for i in range(4)
     ]
     focal4 = float(projs4[0].focal[0])
-    def cam4(x):
-        return Camera.create(W4, H4, focal_px=focal4, position=[x, 0.0, 0.0])
-    _ = _sync(render_fused_fast(projs4, cam4(0.05)))
-    best = 0.0
     n = 4
+    cams4 = [
+        Camera.create(W4, H4, focal_px=focal4,
+                      position=[0.05 + 0.002 * j, 0.0, 0.0])
+        for j in range(n)
+    ]
+    _ = _sync(render_fused_fast_batch(projs4, cams4))
+    best = 0.0
     for _rep in range(2):
         t0 = time.time()
-        acc = [jnp.sum(render_fused_fast(projs4, cam4(0.05 + 0.002 * j)))
-               for j in range(n)]
-        _sync(jnp.stack(acc))
+        _sync(render_fused_fast_batch(projs4, cams4))
         best = max(best, n / (time.time() - t0))
     results["config4_multi_projector_4k"] = {
         "projectors": 4,

@@ -32,6 +32,7 @@ from .models.api import (  # noqa: F401
 from .models.projector import (  # noqa: F401
     Projector,
     projector_from_arrays,
+    resample_projector,
     projector_from_lif_view,
 )
 from .config import DEFAULT_CONFIG, RenderConfig  # noqa: F401
@@ -39,6 +40,8 @@ from .models.renderer import (  # noqa: F401
     RenderMode,
     render,
     render_fast_batch,
+    render_fused_fast,
+    render_fused_fast_batch,
     render_fast_view,
     render_mono_view,
     render_stereo_fast,

@@ -30,6 +30,7 @@ __all__ = [
     "render_fast_batch",
     "render_fast_view",
     "render_fused_fast",
+    "render_fused_fast_batch",
     "render_mono_view",
     "render_stereo_fast",
     "render_stereo_fast_batch",
@@ -739,10 +740,12 @@ def render_stereo_fast_batch(
     rayCastStereoLDI.glsl:165-170, 368-436) — on top of the Pallas
     first-crossing march instead of the gather-bound per-pixel march.
 
-    Requires lateral relative poses for BOTH projectors (no rotation/skew,
+    Requires lateral relative poses for BOTH projectors (no rotation,
     translation along x, matched focal, output dims == layer dims): the
     standard stereo-rig workload where the render camera slides along the
-    baseline. Use render_stereo_view for arbitrary poses.
+    baseline. Frustum skew (sk1 per eye / shared sk2) is supported via
+    the same constant-shift fold as render_fast_view — the skewed-stereo
+    display workload. Use render_stereo_view for arbitrary poses.
     """
     cfg = config or DEFAULT_CONFIG
     background = cfg.background if background is None else background
@@ -785,10 +788,21 @@ def render_stereo_fast_batch(
     prep_mode = "uniform" if snap else cfg.plane_mode
     prep_l = _prepared_fast(left, num_planes, plane_mode=prep_mode)
     prep_r = _prepared_fast(right, num_planes, plane_mode=prep_mode)
-    if not (prep_l["skew_ok"] and prep_r["skew_ok"]) or (
-        float(np.abs(np.asarray(cam0.skew)).sum()) > 1e-9
-    ):
-        raise ValueError("render_stereo_fast does not support skewed frustums")
+    # frustum skew: same constant-shift fold as render_fast_view (the
+    # stereo-display workload IS skewed stereo). All cameras must share
+    # skew (per-eye asymmetric frusta = separate batched calls per eye).
+    sk2 = np.asarray(cam0.skew, np.float64)
+    for cam in cameras[1:]:
+        if not np.allclose(np.asarray(cam.skew), sk2):
+            raise ValueError(
+                "render_stereo_fast_batch cameras must share skew; batch "
+                "per-eye frusta as separate calls"
+            )
+    sk_l = np.asarray(left.skew, np.float64)
+    sk_r = np.asarray(right.skew, np.float64)
+    skewed = bool(
+        np.abs(sk_l - sk2).sum() + np.abs(sk_r - sk2).sum() > 1e-12
+    )
     # stereo mask semantics: dilated hard discard when LDI masks exist
     # (rayCastStereoLDI.glsl:304-305); taper-only for maskless projectors
     mask_mode = "hard" if num_layers > 1 else "none"
@@ -817,24 +831,26 @@ def render_stereo_fast_batch(
             )
         return tuple(plans)
 
-    def _tables(prep, pos_b):
-        nums, tables = [], []
+    def _tables(prep, pos_b, sk1):
+        nums, tables, doffs = [], [], []
         for lay in prep["layers"][:num_layers]:
+            d = -lay["focal_host"] * (sk1 - sk2)
             if snap:
                 tab, k_l = _sweep_march.snap_plane_tables_batch(
                     lay["focal_host"], pos_b[:, 0].tolist(),
                     lay["izmin_host"], lay["izmax_host"],
-                    num_planes=explicit_planes,
+                    num_planes=explicit_planes, phase_px=float(d[0]),
                 )
                 tables.append(jnp.asarray(tab))
                 nums.append(k_l)
             else:
                 tables.append(lay["plane_invz"])
                 nums.append(num_planes)
-        return tuple(nums), tables
+            doffs.append(jnp.asarray(d, jnp.float32))
+        return tuple(nums), tables, doffs
 
-    nums_l, tables_l = _tables(prep_l, pos_l)
-    nums_r, tables_r = _tables(prep_r, pos_r)
+    nums_l, tables_l, doffs_l = _tables(prep_l, pos_l, sk_l)
+    nums_r, tables_r, doffs_r = _tables(prep_r, pos_r, sk_r)
 
     core = _stereo_fast_core_jit(
         plans_l=_plans(prep_l, pos_l),
@@ -846,22 +862,25 @@ def render_stereo_fast_batch(
         feathering=float(feathering),
         mask_mode=mask_mode,
         to_srgb=to_srgb,
+        skewed=skewed,
     )
 
-    def _args(prep, tables):
+    def _args(prep, tables, doffs):
         return tuple(
             dict(
                 rgb=lay["rgb"], disp=lay["disp"],
                 mask=lay["mask_eroded"] if mask_mode == "hard" else lay["mask"],
                 focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
-                plane_invz=tab,
+                plane_invz=tab, doff=doff,
             )
-            for lay, tab in zip(prep["layers"][:num_layers], tables)
+            for lay, tab, doff in zip(
+                prep["layers"][:num_layers], tables, doffs
+            )
         )
 
     return core(
-        _args(prep_l, tables_l),
-        _args(prep_r, tables_r),
+        _args(prep_l, tables_l, doffs_l),
+        _args(prep_r, tables_r, doffs_r),
         jnp.asarray(pos_l, jnp.float32),
         jnp.asarray(pos_r, jnp.float32),
         jnp.asarray(background, jnp.float32),
@@ -903,6 +922,7 @@ def _stereo_fast_core(
     feathering,
     mask_mode,
     to_srgb,
+    skewed=False,
 ):
     """Traced body of render_stereo_fast_batch: per-view batched march
     (raw outputs), occlusion fill + view-weight blend per layer
@@ -918,22 +938,27 @@ def _stereo_fast_core(
 
     result_rgb = None
     result_a = None
+    def _eye(lay, c1_b, plan, k_l):
+        rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+        offset = (0.0, 0.0)
+        if skewed:
+            d = lay["doff"]
+            rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
+            disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
+            mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
+            offset = (d[0], d[1])
+        return _sweep_march.render_translation_batch(
+            rgb_l, disp_l, mask_l, lay["izmin"], lay["izmax"],
+            c1_b, lay["focal"], lay["plane_invz"], zero_bg,
+            plan=plan, num_planes=k_l, refine=refine,
+            feathering=feathering, mask_mode=mask_mode, to_srgb=False,
+            raw=True, offset=offset,
+        )
+
     for i in range(num_layers):
         ll, lr = layers_l[i], layers_r[i]
-        rgba_l, a_l, hit_l, _ = _sweep_march.render_translation_batch(
-            ll["rgb"], ll["disp"], ll["mask"], ll["izmin"], ll["izmax"],
-            c1l_b, ll["focal"], ll["plane_invz"], zero_bg,
-            plan=plans_l[i], num_planes=nums_l[i], refine=refine,
-            feathering=feathering, mask_mode=mask_mode, to_srgb=False,
-            raw=True,
-        )
-        rgba_r, a_r, hit_r, _ = _sweep_march.render_translation_batch(
-            lr["rgb"], lr["disp"], lr["mask"], lr["izmin"], lr["izmax"],
-            c1r_b, lr["focal"], lr["plane_invz"], zero_bg,
-            plan=plans_r[i], num_planes=nums_r[i], refine=refine,
-            feathering=feathering, mask_mode=mask_mode, to_srgb=False,
-            raw=True,
-        )
+        rgba_l, a_l, hit_l, _ = _eye(ll, c1l_b, plans_l[i], nums_l[i])
+        rgba_r, a_r, hit_r, _ = _eye(lr, c1r_b, plans_r[i], nums_r[i])
         lA = jnp.concatenate([rgba_l[..., :3], a_l[..., None]], axis=-1)
         rA = jnp.concatenate([rgba_r[..., :3], a_r[..., None]], axis=-1)
         # Occlusion fill, sequential like the GLSL (:372-381): the R test
@@ -1071,9 +1096,15 @@ def _fast_core(
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
 
 
-def render_fused_fast(
+def render_fused_fast(projectors: Sequence[Projector], camera: Camera, **kw):
+    """Multi-projector nearest-depth fusion at one pose: a batch of 1
+    (see render_fused_fast_batch)."""
+    return render_fused_fast_batch(projectors, [camera], **kw)[0]
+
+
+def render_fused_fast_batch(
     projectors: Sequence[Projector],
-    camera: Camera,
+    cameras: Sequence[Camera],
     background=None,
     feathering: float | None = None,
     to_srgb: bool | None = None,
@@ -1081,13 +1112,13 @@ def render_fused_fast(
     mask_mode: str | None = None,
     config: RenderConfig | None = None,
 ):
-    """Multi-projector nearest-depth fusion on the fast march — the
-    single-chip equivalent of parallel.sharding.render_fused_projectors
-    (same merge semantics; that one shards the view axis over a device
-    mesh with pmax/psum collectives, this one runs all views in ONE
-    compiled dispatch on one chip).
+    """Multi-projector nearest-depth fusion on the fast march for a batch
+    of poses in ONE compiled dispatch — the single-chip equivalent of
+    parallel.sharding.render_fused_projectors (same merge semantics; that
+    one shards the view axis over a device mesh with pmax/psum
+    collectives). Returns (B, H, W, 4).
 
-    Per projector: every LDI layer is marched (raw), composited
+    Per projector: every LDI layer is marched (batched raw), composited
     front-to-back with the reference mask semantics, and the frontmost
     hit's ABSOLUTE inverse depth (invz/baseline, comparable across
     projectors) is tracked. Across projectors: nearest frontmost surface
@@ -1097,8 +1128,8 @@ def render_fused_fast(
     paths (cross-checked in tests/test_fusion.py).
 
     Requires lateral relative poses (x-only translation, matched focal,
-    output dims == layer dims) for every projector; use the sharded
-    raycast fusion for arbitrary poses.
+    output dims == layer dims) for every projector at every camera; use
+    the sharded raycast fusion for arbitrary poses.
     """
     cfg = config or DEFAULT_CONFIG
     background = cfg.background if background is None else background
@@ -1106,25 +1137,32 @@ def render_fused_fast(
     to_srgb = cfg.to_srgb if to_srgb is None else to_srgb
     snap = cfg.plane_mode == "snap"
     base_planes = cfg.march_planes if num_planes is None else num_planes
-    f2_host = float(camera.focal_px)
+    if len(cameras) == 0:
+        raise ValueError("render_fused_fast_batch needs at least one camera")
+    cam0 = cameras[0]
+    f2_host = float(cam0.focal_px)
 
     all_args, all_plans, all_nums, all_modes = [], [], [], []
     c1s, baselines = [], []
     for proj in projectors:
-        pos_np, rot_np = relative_view_pose(
-            np.asarray(proj.position, np.float64),
-            np.asarray(proj.rotation, np.float64),
-            np.asarray(camera.position, np.float64),
-            np.asarray(camera.rotation, np.float64),
-        )
-        if not np.allclose(rot_np, np.eye(3), atol=1e-5) or (
-            abs(pos_np[1]) > 1e-9 or abs(pos_np[2]) > 1e-9
-        ):
-            raise ValueError(
-                "render_fused_fast needs lateral poses; use "
-                "parallel.sharding.render_fused_projectors for arbitrary "
-                "poses"
+        pos_list = []
+        for cam in cameras:
+            pos_np, rot_np = relative_view_pose(
+                np.asarray(proj.position, np.float64),
+                np.asarray(proj.rotation, np.float64),
+                np.asarray(cam.position, np.float64),
+                np.asarray(cam.rotation, np.float64),
             )
+            if not np.allclose(rot_np, np.eye(3), atol=1e-5) or (
+                abs(pos_np[1]) > 1e-9 or abs(pos_np[2]) > 1e-9
+            ):
+                raise ValueError(
+                    "render_fused_fast needs lateral poses; use "
+                    "parallel.sharding.render_fused_projectors for "
+                    "arbitrary poses"
+                )
+            pos_list.append(pos_np)
+        pos_b = np.stack(pos_list)
         prep = _prepared_fast(
             proj, base_planes, plane_mode="uniform" if snap else "hybrid"
         )
@@ -1133,27 +1171,28 @@ def render_fused_fast(
         m_mode = mask_mode or (
             "multiply" if proj.num_layers > 1 else "none"
         )
+        max_cx = float(np.abs(pos_b[:, 0]).max())
         plans, nums, args = [], [], []
         for lay in prep["layers"]:
             if (
                 abs(lay["focal_host"] - f2_host) > 1e-6 * f2_host
-                or lay["w"] != camera.width
-                or lay["h"] != camera.height
+                or lay["w"] != cam0.width
+                or lay["h"] != cam0.height
             ):
                 raise ValueError(
                     "render_fused_fast needs matched focal/dims per layer"
                 )
             max_shift = min(
-                lay["focal_host"] * abs(float(pos_np[0])) * lay["izmin_host"],
-                float(lay["w"] + camera.width),
+                lay["focal_host"] * max_cx * lay["izmin_host"],
+                float(lay["w"] + cam0.width),
             )
             plans.append(_sweep_march.translation_plan(
-                lay["w"], lay["h"], camera.width, camera.height,
+                lay["w"], lay["h"], cam0.width, cam0.height,
                 max_shift, 0.0,
             ))
             if snap:
-                tab, k_l = _sweep_march.snap_plane_table(
-                    lay["focal_host"], float(pos_np[0]),
+                tab, k_l = _sweep_march.snap_plane_tables_batch(
+                    lay["focal_host"], pos_b[:, 0].tolist(),
                     lay["izmin_host"], lay["izmax_host"],
                     num_planes=num_planes,
                 )
@@ -1170,7 +1209,7 @@ def render_fused_fast(
         all_plans.append(tuple(plans))
         all_nums.append(tuple(nums))
         all_modes.append(m_mode)
-        c1s.append(jnp.asarray(pos_np, jnp.float32))
+        c1s.append(jnp.asarray(pos_b, jnp.float32))
         baselines.append(jnp.float32(float(np.asarray(proj.baseline))))
 
     core = _fused_fast_core_jit(
@@ -1202,7 +1241,7 @@ def _fused_fast_core_jit(**statics):
 
 def _fused_fast_core(
     proj_args,
-    c1s,
+    c1s,  # per projector (B, 3) pose batches
     baselines,
     background,
     *,
@@ -1212,8 +1251,9 @@ def _fused_fast_core(
     feathering,
     to_srgb,
 ):
-    """Traced body of render_fused_fast: per-projector LDI composite on
-    the march (raw), then the nearest-frontmost-surface merge."""
+    """Traced body of render_fused_fast_batch: per-projector LDI
+    composite on the batched march (raw), then the
+    nearest-frontmost-surface merge. All images are (B, H, W, ...)."""
     zero_bg = jnp.zeros(4, jnp.float32)
     view_rgb, view_a, view_front = [], [], []
     for layers, plan_l, num_l, m_mode, c1, baseline in zip(
@@ -1223,7 +1263,7 @@ def _fused_fast_core(
         acc_a = None
         front = None
         for lay, plan, k_l in zip(layers, plan_l, num_l):
-            rgba, alpha, hit, izs = _sweep_march.render_translation(
+            rgba, alpha, hit, izs = _sweep_march.render_translation_batch(
                 lay["rgb"], lay["disp"], lay["mask"],
                 lay["izmin"], lay["izmax"], c1, lay["focal"],
                 lay["plane_invz"], zero_bg,

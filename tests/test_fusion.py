@@ -102,3 +102,19 @@ def test_sharded_fusion_ldi_layers(rng):
     # layer-0-only fusion would leave the masked holes empty)
     interior_a = fused[12:-12, 16:-16, 3]
     assert float(interior_a.mean()) > 0.9
+
+
+def test_fused_fast_batch_matches_single(rng):
+    """Batched fused rendering (one dispatch) equals per-pose fusion."""
+    from lif_tpu.models.renderer import render_fused_fast_batch
+
+    h, w = 64, 96
+    projs = [_proj(rng, h, w, x) for x in (-0.02, 0.02)]
+    cams = [
+        Camera.create(w, h, focal_px=0.78 * w, position=[x, 0.0, 0.0])
+        for x in (-0.01, 0.0, 0.015)
+    ]
+    batched = np.asarray(render_fused_fast_batch(projs, cams))
+    for i, cam in enumerate(cams):
+        single = np.asarray(render_fused_fast(projs, cam))
+        assert np.abs(batched[i] - single).max() < 1e-5, i

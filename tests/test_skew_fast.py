@@ -90,3 +90,32 @@ def test_skew_with_rotation_still_raises(rng):
     )
     with pytest.raises(ValueError):
         render_fast_view(proj, cam)
+
+
+def test_skewed_stereo_fast(rng):
+    """Skewed stereo through the fast two-view path (the stereo-display
+    workload: per-eye source skew, shared camera skew) vs the exact
+    skew-aware stereo kernel."""
+    from lif_tpu import projector_from_arrays, render_stereo_fast
+    from lif_tpu.models.renderer import render_stereo_view
+
+    h, w = 96, 128
+    rgb, disp = _scene(rng, h, w)
+    rgb2 = np.roll(rgb, 3, axis=1)
+
+    def proj(r, x, sk):
+        return projector_from_arrays(
+            r, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.1,
+            baseline=1.0, position=(x, 0.0, 0.0), skew=sk,
+        )
+
+    left = proj(rgb, -0.03, (0.015, 0.0))
+    right = proj(rgb2, 0.03, (-0.015, 0.0))
+    cam = Camera.create(
+        w, h, focal_px=0.78 * w, position=[0.01, 0.0, 0.0],
+        skew=(0.005, 0.0),
+    )
+    exact = render_stereo_view(left, right, cam, num_steps=160)
+    fast = render_stereo_fast(left, right, cam, num_planes=160)
+    p = _psnr(fast, exact)
+    assert p > 35.0, f"skewed stereo fast only {p:.1f} dB"
