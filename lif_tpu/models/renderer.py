@@ -18,6 +18,7 @@ import numpy as np
 from ..config import DEFAULT_CONFIG, RenderConfig
 from ..core.camera import Camera
 from ..core.pose import relative_view_pose
+from ..ops import composite as _composite
 from ..ops import raycast as _raycast
 from ..ops import stereo as _stereo
 from ..ops import sweep_fast as _sweep_fast
@@ -41,17 +42,38 @@ RenderMode = Literal[
     "raycast", "stereo", "stereo_fast", "mesh", "billboard", "fast"
 ]
 
-# plane-table cache for the fast path: quantile computation reads the whole
-# disparity map on the host, which must not happen per frame. Keyed by the
-# identity of the projector's disp buffer (the stored strong reference keeps
-# the id stable while cached) PLUS a strided content fingerprint, so an
-# in-place mutation of a numpy-backed disp (e.g. a fit loop writing into
-# the same buffer) invalidates the entry instead of serving stale planes.
-# LRU eviction.
+# Two-level cache for the fast path. The TEXTURE cache holds the
+# pose-independent device arrays (rgb/disp/mask slices + the eroded
+# stereo mask) once per projector — these are the ~15+ MB entries and
+# must not duplicate across (num_planes, plane_mode) variants. The
+# PLANE-TABLE cache holds the small per-(num_planes, mode) invz tables
+# (quantile tables read the whole disparity map on the host, which must
+# not happen per frame). Both key on the identity of the projector's
+# disp buffer (the stored strong reference keeps the id stable while
+# cached) PLUS a strided content fingerprint, so an in-place mutation of
+# a numpy-backed disp (e.g. a fit loop writing into the same buffer)
+# invalidates the entry instead of serving stale data. LRU eviction.
 from collections import OrderedDict as _OrderedDict
 
-_PLANE_CACHE: "_OrderedDict" = _OrderedDict()
-_PLANE_CACHE_MAX = 64
+_TEX_CACHE: "_OrderedDict" = _OrderedDict()
+_TEX_CACHE_MAX = 16
+_TABLE_CACHE: "_OrderedDict" = _OrderedDict()
+_TABLE_CACHE_MAX = 64
+
+
+def _memo_jit(fn, cache, **statics):
+    """One compiled executable per static configuration (the whole core —
+    kernels, LDI compositing, background, gamma — is ONE dispatch per
+    call; eager per-layer compositing costs multiple dispatch round trips
+    through the axon tunnel)."""
+    key = tuple(sorted(statics.items()))
+    f = cache.get(key)
+    if f is None:
+        import functools
+
+        f = jax.jit(functools.partial(fn, **statics))
+        cache[key] = f
+    return f
 
 
 def _disp_fingerprint(disp) -> int:
@@ -105,19 +127,16 @@ def _plane_table(disp_host, izmin_f, izmax_f, num_planes, mode="uniform"):
     return vals - np.arange(num_planes, dtype=np.float32) * eps
 
 
-def _prepared_fast(projector, num_planes, plane_mode="uniform"):
-    """Per-projector constants for the fast path, computed once and cached:
-    device-resident per-layer texture slices, plane tables, skew
-    validity, baseline-normalized ranges. Per-frame work must not touch the
-    host or dispatch eager device ops (each costs ~28 ms through the axon
-    tunnel)."""
-    key = (
-        id(projector.disp), num_planes, plane_mode,
-        _disp_fingerprint(projector.disp),
-    )
-    hit = _PLANE_CACHE.get(key)
+def _prepared_textures(projector):
+    """Pose- and plane-independent per-projector constants, cached ONCE
+    per projector: device-resident per-layer texture slices (incl. the
+    eroded stereo mask), skew validity, baseline-normalized ranges.
+    Per-frame work must not touch the host or dispatch eager device ops
+    (each costs ~28 ms through the axon tunnel)."""
+    key = (id(projector.disp), _disp_fingerprint(projector.disp))
+    hit = _TEX_CACHE.get(key)
     if hit is not None and hit[0] is projector.disp:
-        _PLANE_CACHE.move_to_end(key)
+        _TEX_CACHE.move_to_end(key)
         return hit[1]
 
     baseline = float(np.asarray(projector.baseline))
@@ -126,12 +145,8 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
     for i in range(projector.num_layers):
         w_i = int(projector.layer_res[i, 0])
         h_i = int(projector.layer_res[i, 1])
-        disp_host = np.asarray(projector.disp[i, :h_i, :w_i])
         izmin_f = float(np.asarray(projector.invz_min[i])) / baseline
         izmax_f = float(np.asarray(projector.invz_max[i])) / baseline
-        plane_invz = _plane_table(
-            disp_host, izmin_f, izmax_f, num_planes, mode=plane_mode
-        )
         mask_i = jnp.asarray(projector.mask[i, :h_i, :w_i])
         layers.append(
             dict(
@@ -141,6 +156,7 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
                 # stereo's dilated hard-discard mask, prepared once
                 # (erode + threshold replaces isMaskAround's 9 samples)
                 mask_eroded=_sweep_march.erode_mask_for_stereo(mask_i),
+                disp_host=np.asarray(projector.disp[i, :h_i, :w_i]),
                 focal=jnp.float32(float(np.asarray(projector.focal[i]))),
                 focal_host=float(np.asarray(projector.focal[i])),
                 izmin=jnp.float32(izmin_f),
@@ -149,15 +165,44 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
                 izmax_host=izmax_f,
                 w=w_i,
                 h=h_i,
-                plane_invz=jnp.asarray(plane_invz),
             )
         )
     prepared = {"skew_ok": skew_ok, "layers": layers}
 
-    while len(_PLANE_CACHE) >= _PLANE_CACHE_MAX:
-        _PLANE_CACHE.popitem(last=False)
-    _PLANE_CACHE[key] = (projector.disp, prepared)
+    while len(_TEX_CACHE) >= _TEX_CACHE_MAX:
+        _TEX_CACHE.popitem(last=False)
+    _TEX_CACHE[key] = (projector.disp, prepared)
     return prepared
+
+
+def _prepared_fast(projector, num_planes, plane_mode="uniform"):
+    """Prepared textures + per-(num_planes, plane_mode) invz plane tables.
+    The heavy texture entries are shared across table variants
+    (_prepared_textures); only the small (L, K) tables are built here."""
+    tex = _prepared_textures(projector)
+    key = (
+        id(projector.disp), _disp_fingerprint(projector.disp),
+        num_planes, plane_mode,
+    )
+    tabs = _TABLE_CACHE.get(key)
+    if tabs is None:
+        tabs = [
+            jnp.asarray(_plane_table(
+                lay["disp_host"], lay["izmin_host"], lay["izmax_host"],
+                num_planes, mode=plane_mode,
+            ))
+            for lay in tex["layers"]
+        ]
+        while len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.popitem(last=False)
+        _TABLE_CACHE[key] = tabs
+    return {
+        "skew_ok": tex["skew_ok"],
+        "layers": [
+            dict(lay, plane_invz=tab)
+            for lay, tab in zip(tex["layers"], tabs)
+        ],
+    }
 
 
 def _relative(projector: Projector, camera: Camera):
@@ -417,11 +462,14 @@ def render_fast_view(
         )
 
     # per-layer plane tables + static counts: snap grids are pose- and
-    # layer-range-dependent (host math, ~K floats/frame)
+    # layer-range-dependent (host math, ~K floats/frame). Layers that
+    # fall back to the per-plane matmul sweep get the sweep-tuned table
+    # (few hybrid planes), NOT the march's dense grid — the sweep pays
+    # per plane.
     nums = []
     tables = []
     doffs = []
-    for lay, m in zip(prepared["layers"], use_march):
+    for idx, (lay, m) in enumerate(zip(prepared["layers"], use_march)):
         d = -lay["focal_host"] * (sk1 - sk2)
         if m and snap:
             tab, k_l = _sweep_march.snap_plane_table(
@@ -431,9 +479,14 @@ def render_fast_view(
             )
             tables.append(jnp.asarray(tab))
             nums.append(k_l)
-        else:
+        elif m:
             tables.append(lay["plane_invz"])
             nums.append(num_planes)
+        else:
+            k_fb = explicit_planes or cfg.sweep_planes
+            fb = _prepared_fast(projector, k_fb, plane_mode="hybrid")
+            tables.append(fb["layers"][idx]["plane_invz"])
+            nums.append(k_fb)
         doffs.append(jnp.asarray(d, jnp.float32))
 
     core = _fast_core_jit(
@@ -580,10 +633,11 @@ def render_fast_batch(
         use_march.append(m)
 
     # per-layer plane tables: snap grids are per-pose (B, K_l), padded to
-    # a shared bucketed K_l per layer
+    # a shared bucketed K_l per layer; sweep-fallback layers get the
+    # sweep-tuned few-plane hybrid table (the sweep pays per plane)
     nums = []
     tables = []
-    for lay, m in zip(prepared["layers"], use_march):
+    for idx, (lay, m) in enumerate(zip(prepared["layers"], use_march)):
         if m and snap:
             tab, k_l = _sweep_march.snap_plane_tables_batch(
                 lay["focal_host"], pos_b[:, 0].tolist(),
@@ -592,9 +646,14 @@ def render_fast_batch(
             )
             tables.append(jnp.asarray(tab))
             nums.append(k_l)
-        else:
+        elif m:
             tables.append(lay["plane_invz"])
             nums.append(num_planes)
+        else:
+            k_fb = explicit_planes or cfg.sweep_planes
+            fb = _prepared_fast(projector, k_fb, plane_mode="hybrid")
+            tables.append(fb["layers"][idx]["plane_invz"])
+            nums.append(k_fb)
 
     core = _fast_batch_core_jit(
         plans=tuple(plans),
@@ -632,14 +691,7 @@ _FAST_BATCH_CORE_CACHE: dict = {}
 
 
 def _fast_batch_core_jit(**statics):
-    key = tuple(sorted(statics.items()))
-    fn = _FAST_BATCH_CORE_CACHE.get(key)
-    if fn is None:
-        import functools
-
-        fn = jax.jit(functools.partial(_fast_batch_core, **statics))
-        _FAST_BATCH_CORE_CACHE[key] = fn
-    return fn
+    return _memo_jit(_fast_batch_core, _FAST_BATCH_CORE_CACHE, **statics)
 
 
 def _fast_batch_core(
@@ -710,14 +762,9 @@ def _fast_batch_core(
         else:
             result_rgb = result_rgb + (1.0 - result_a[..., None]) * layer[..., :3]
             result_a = result_a + (1.0 - result_a) * la
-    bg = background
-    out_rgb = bg[:3] * bg[3] * (1.0 - result_a[..., None]) + result_rgb
-    out_a = bg[3] + result_a * (1.0 - bg[3])
-    if to_srgb:
-        from ..core.color import linear_to_srgb
-
-        out_rgb = linear_to_srgb(out_rgb)
-    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+    return _composite.finish_over_background(
+        result_rgb, result_a, background, to_srgb
+    )
 
 
 def render_stereo_fast_batch(
@@ -896,14 +943,7 @@ _STEREO_FAST_CORE_CACHE: dict = {}
 
 
 def _stereo_fast_core_jit(**statics):
-    key = tuple(sorted(statics.items()))
-    fn = _STEREO_FAST_CORE_CACHE.get(key)
-    if fn is None:
-        import functools
-
-        fn = jax.jit(functools.partial(_stereo_fast_core, **statics))
-        _STEREO_FAST_CORE_CACHE[key] = fn
-    return fn
+    return _memo_jit(_stereo_fast_core, _STEREO_FAST_CORE_CACHE, **statics)
 
 
 def _stereo_fast_core(
@@ -980,14 +1020,9 @@ def _stereo_fast_core(
             ] * layer[..., :3]
             result_a = la + result_a * (1.0 - la)
 
-    bg = background
-    out_rgb = bg[:3] * bg[3] * (1.0 - result_a[..., None]) + result_rgb
-    out_a = bg[3] + result_a * (1.0 - bg[3])
-    if to_srgb:
-        from ..core.color import linear_to_srgb
-
-        out_rgb = linear_to_srgb(out_rgb)
-    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+    return _composite.finish_over_background(
+        result_rgb, result_a, background, to_srgb
+    )
 
 
 # One compiled executable per static configuration: everything inside —
@@ -998,14 +1033,7 @@ _FAST_CORE_CACHE: dict = {}
 
 
 def _fast_core_jit(**statics):
-    key = tuple(sorted(statics.items()))
-    fn = _FAST_CORE_CACHE.get(key)
-    if fn is None:
-        import functools
-
-        fn = jax.jit(functools.partial(_fast_core, **statics))
-        _FAST_CORE_CACHE[key] = fn
-    return fn
+    return _memo_jit(_fast_core, _FAST_CORE_CACHE, **statics)
 
 
 def _fast_core(
@@ -1086,14 +1114,9 @@ def _fast_core(
         else:
             result_rgb = result_rgb + (1.0 - result_a[..., None]) * layer[..., :3]
             result_a = result_a + (1.0 - result_a) * la
-    bg = background
-    out_rgb = bg[:3] * bg[3] * (1.0 - result_a[..., None]) + result_rgb
-    out_a = bg[3] + result_a * (1.0 - bg[3])
-    if to_srgb:
-        from ..core.color import linear_to_srgb
-
-        out_rgb = linear_to_srgb(out_rgb)
-    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+    return _composite.finish_over_background(
+        result_rgb, result_a, background, to_srgb
+    )
 
 
 def render_fused_fast(projectors: Sequence[Projector], camera: Camera, **kw):
@@ -1141,9 +1164,16 @@ def render_fused_fast_batch(
         raise ValueError("render_fused_fast_batch needs at least one camera")
     cam0 = cameras[0]
     f2_host = float(cam0.focal_px)
+    if any(
+        float(np.abs(np.asarray(cam.skew)).sum()) > 1e-9 for cam in cameras
+    ):
+        raise ValueError(
+            "render_fused_fast does not support skewed cameras; use the "
+            "sharded raycast fusion"
+        )
 
     all_args, all_plans, all_nums, all_modes = [], [], [], []
-    c1s, baselines = [], []
+    c1s = []
     for proj in projectors:
         pos_list = []
         for cam in cameras:
@@ -1210,7 +1240,6 @@ def render_fused_fast_batch(
         all_nums.append(tuple(nums))
         all_modes.append(m_mode)
         c1s.append(jnp.asarray(pos_b, jnp.float32))
-        baselines.append(jnp.float32(float(np.asarray(proj.baseline))))
 
     core = _fused_fast_core_jit(
         plans=tuple(all_plans),
@@ -1220,7 +1249,7 @@ def render_fused_fast_batch(
         to_srgb=to_srgb,
     )
     return core(
-        tuple(all_args), tuple(c1s), tuple(baselines),
+        tuple(all_args), tuple(c1s),
         jnp.asarray(background, jnp.float32),
     )
 
@@ -1229,20 +1258,12 @@ _FUSED_FAST_CORE_CACHE: dict = {}
 
 
 def _fused_fast_core_jit(**statics):
-    key = tuple(sorted(statics.items()))
-    fn = _FUSED_FAST_CORE_CACHE.get(key)
-    if fn is None:
-        import functools
-
-        fn = jax.jit(functools.partial(_fused_fast_core, **statics))
-        _FUSED_FAST_CORE_CACHE[key] = fn
-    return fn
+    return _memo_jit(_fused_fast_core, _FUSED_FAST_CORE_CACHE, **statics)
 
 
 def _fused_fast_core(
     proj_args,
     c1s,  # per projector (B, 3) pose batches
-    baselines,
     background,
     *,
     plans,
@@ -1253,11 +1274,18 @@ def _fused_fast_core(
 ):
     """Traced body of render_fused_fast_batch: per-projector LDI
     composite on the batched march (raw), then the
-    nearest-frontmost-surface merge. All images are (B, H, W, ...)."""
+    nearest-frontmost-surface merge. All images are (B, H, W, ...).
+
+    The march's invz_star is ALREADY absolute inverse depth in 1/m
+    (layer izmin/izmax were divided by baseline in _prepared_fast, and
+    depth = baseline/invz_LIF = 1/(invz_LIF/baseline)), so it compares
+    across projectors with different baselines directly — no further
+    scaling (a second /baseline here was a measured bug that made the
+    FARTHER surface win; tests/test_fusion.py covers mixed baselines)."""
     zero_bg = jnp.zeros(4, jnp.float32)
     view_rgb, view_a, view_front = [], [], []
-    for layers, plan_l, num_l, m_mode, c1, baseline in zip(
-        proj_args, plans, nums, modes, c1s, baselines
+    for layers, plan_l, num_l, m_mode, c1 in zip(
+        proj_args, plans, nums, modes, c1s
     ):
         acc_rgb = None
         acc_a = None
@@ -1271,7 +1299,7 @@ def _fused_fast_core(
                 feathering=feathering, mask_mode=m_mode, to_srgb=False,
                 raw=True,
             )
-            inv_abs = izs / baseline
+            inv_abs = izs
             if acc_rgb is None:
                 acc_rgb = alpha[..., None] * rgba[..., :3]
                 acc_a = alpha
@@ -1299,14 +1327,9 @@ def _fused_fast_core(
     alpha = jnp.sum(jnp.where(winner, a_s, 0.0), axis=0)
     color = color / count[..., None]
     alpha = alpha / count
-    bg = background
-    out_rgb = bg[:3] * bg[3] * (1.0 - alpha[..., None]) + color
-    out_a = bg[3] + alpha * (1.0 - bg[3])
-    if to_srgb:
-        from ..core.color import linear_to_srgb
-
-        out_rgb = linear_to_srgb(out_rgb)
-    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+    return _composite.finish_over_background(
+        color, alpha, background, to_srgb
+    )
 
 
 def render(

@@ -383,17 +383,21 @@ def erode_mask_for_stereo(mask):
     A bilinear sample at +-1.5 texels is the mean of the texels at 1 and 2;
     warping the eroded map and hard-thresholding at 0.5 then reproduces
     the shader's any-sample-below-0.5 discard (exact on binary masks away
-    from the 1-texel bleed band)."""
+    from the 1-texel bleed band). Shifts are EDGE-CLAMPED like the
+    shader's texture reads — a wrap-around (jnp.roll) would bleed a
+    masked top edge into the bottom rows."""
     m = jnp.asarray(mask, jnp.float32)
+    p = jnp.pad(m, 2, mode="edge")
+    h, w = m.shape
 
-    def shift(a, dy, dx):
-        return jnp.roll(a, (dy, dx), axis=(0, 1))
+    def shift(dy, dx):
+        return p[2 + dy : 2 + dy + h, 2 + dx : 2 + dx + w]
 
     def sample(dy, dx):
         # bilinear at offset 1.5*d: mean of the texels at d and 2d
         if dy == 0 and dx == 0:
             return m
-        return 0.5 * (shift(m, dy, dx) + shift(m, 2 * dy, 2 * dx))
+        return 0.5 * (shift(dy, dx) + shift(2 * dy, 2 * dx))
 
     out = m
     for dy in (-1, 0, 1):

@@ -201,7 +201,8 @@ def render_trajectory_sharded(
     return fn(jnp.asarray(pos), jnp.asarray(rot), *shared)
 
 
-def _fuse_across_views(rgba, front_inv_depth, background, axis_name):
+def _fuse_across_views(rgba, front_inv_depth, background, axis_name,
+                       to_srgb: bool = True):
     """Nearest-surface merge across the sharded view axis.
 
     rgba: this view's composited (premultiplied) LDI render; front_inv_depth
@@ -221,14 +222,9 @@ def _fuse_across_views(rgba, front_inv_depth, background, axis_name):
     denom = jnp.maximum(count, 1.0)
     color = color / denom[..., None]
     alpha = alpha / denom
-    bg = background
-    out_rgb = bg[:3] * bg[3] * (1.0 - alpha[..., None]) + color
-    out_a = bg[3] + alpha * (1.0 - bg[3])
-    from ..core.color import linear_to_srgb
+    from ..ops.composite import finish_over_background
 
-    return jnp.concatenate(
-        [linear_to_srgb(out_rgb), out_a[..., None]], axis=-1
-    )
+    return finish_over_background(color, alpha, background, to_srgb=to_srgb)
 
 
 def render_fused_projectors(
@@ -238,6 +234,7 @@ def render_fused_projectors(
     axis_name: str = "view",
     background=(0.0, 0.0, 0.0, 0.0),
     mask_mode: str | None = None,
+    to_srgb: bool = True,
     **kwargs,
 ):
     """Fuse multiple projectors into one view, projector-sharded.
@@ -286,12 +283,12 @@ def render_fused_projectors(
     layer_counts = tuple(p.num_layers for p in projectors)
 
     def view_fn(rgb, disp, m_arr, layer_res, izmin, izmax, focal, skew,
-                pos, rot, nlay, baseline):
+                pos, rot, nlay):
         # shard_map gives each device a leading dim of 1; drop it
         rgb, disp, m_arr = rgb[0], disp[0], m_arr[0]
         layer_res, izmin, izmax = layer_res[0], izmin[0], izmax[0]
         focal, skew, pos, rot = focal[0], skew[0], pos[0], rot[0]
-        nlay, baseline = nlay[0], baseline[0]
+        nlay = nlay[0]
 
         s2x, s2y = _raycast._pixel_grid(camera.width, camera.height)
         from ..core.transforms import mat_from_focal, mm
@@ -321,17 +318,24 @@ def render_fused_projectors(
             live = (jnp.float32(i) < nlay).astype(jnp.float32)
             a = rgba[..., 3] * live
             acc_rgb = acc_rgb + (1.0 - acc_a[..., None]) * a[..., None] * rgba[..., :3]
-            # frontmost hit inverse depth, absolute 1/m units
+            # frontmost hit inverse depth. invz2 is ALREADY absolute 1/m:
+            # the layer izmin/izmax fed to the kernel were divided by
+            # baseline above, and depth = baseline/invz_LIF — so it
+            # compares across projectors with different baselines as-is
+            # (dividing by baseline again was a measured bug that made
+            # the farther surface win; tests/test_fusion.py)
             new_hit = (a > 0.0) & (front == 0.0)
-            front = jnp.where(new_hit, invz2 / baseline, front)
+            front = jnp.where(new_hit, invz2, front)
             acc_a = acc_a + (1.0 - acc_a) * a
         view_rgba = jnp.concatenate([acc_rgb, acc_a[..., None]], axis=-1)
-        return _fuse_across_views(view_rgba, front, bg, axis_name)[None]
+        return _fuse_across_views(
+            view_rgba, front, bg, axis_name, to_srgb=to_srgb
+        )[None]
 
     fn = shard_map(
         view_fn,
         mesh=mesh,
-        in_specs=tuple(P(axis_name) for _ in range(12)),
+        in_specs=tuple(P(axis_name) for _ in range(11)),
         out_specs=P(axis_name, None, None, None),
         check_vma=False,
     )
@@ -345,7 +349,6 @@ def render_fused_projectors(
         reps = [(0, num_layers - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
         return np.pad(a, reps, mode="edge" if pad_edge else "constant")
 
-    baselines = [float(p.baseline) for p in projectors]
     out = fn(
         stack([padL(p.rgb) for p in projectors]),
         stack([padL(p.disp) for p in projectors]),
@@ -358,6 +361,5 @@ def render_fused_projectors(
         stack(poss),
         stack(rots),
         stack([float(c) for c in layer_counts]),
-        stack(baselines),
     )
     return out[0]  # all shards carry the same fused image

@@ -118,3 +118,41 @@ def test_fused_fast_batch_matches_single(rng):
     for i, cam in enumerate(cams):
         single = np.asarray(render_fused_fast(projs, cam))
         assert np.abs(batched[i] - single).max() < 1e-5, i
+
+
+def test_fused_nearest_wins_across_different_baselines(rng):
+    """The merge key is ABSOLUTE inverse depth: a projector with surface
+    at 1 m must beat one at 2 m regardless of their baselines (the
+    round-2 review caught a double /baseline that made the FARTHER
+    surface win whenever baselines differed)."""
+    h, w = 48, 64
+    red = np.zeros((h, w, 3), np.float32); red[..., 0] = 1.0
+    green = np.zeros((h, w, 3), np.float32); green[..., 1] = 1.0
+
+    def proj(rgb, depth_m, baseline):
+        # disp=1 everywhere -> invz = invz_min; choose invz_min so that
+        # depth = baseline/invz_min = depth_m
+        invz_min = baseline / depth_m
+        disp = np.ones((h, w), np.float32)
+        return projector_from_arrays(
+            rgb, disp, focal_px=0.78 * w, invz_min=invz_min,
+            invz_max=invz_min * 1e-3, baseline=baseline,
+        )
+
+    near = proj(red, 1.0, baseline=4.0)    # 1 m away, big baseline
+    far = proj(green, 2.0, baseline=1.0)   # 2 m away, small baseline
+    cam = Camera.create(w, h, focal_px=0.78 * w, position=[1e-4, 0, 0])
+    fused = np.asarray(
+        render_fused_fast([near, far], cam, to_srgb=False)
+    )
+    c = fused[h // 2, w // 2]
+    assert c[0] > 0.9 and c[1] < 0.1, f"nearer (red) surface must win: {c}"
+
+    # same invariant through the sharded path
+    mesh = make_mesh(("view",), (2,), devices=jax.devices()[:2])
+    fused_sh = np.asarray(
+        render_fused_projectors([near, far], cam, mesh, num_steps=60,
+                                to_srgb=False)
+    )
+    c = fused_sh[h // 2, w // 2]
+    assert c[0] > 0.9 and c[1] < 0.1, f"sharded: nearer must win: {c}"
