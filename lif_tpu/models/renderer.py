@@ -205,6 +205,41 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
     }
 
 
+_TRANSPOSED_CACHE: "_OrderedDict" = _OrderedDict()
+_TRANSPOSED_CACHE_MAX = 8
+
+
+def _transposed_projector(projector: Projector) -> Projector:
+    """Axis-swapped copy (x<->y) for the y-translation march reduction,
+    cached per projector so the transposed textures upload once, not per
+    frame."""
+    key = (id(projector.disp), _disp_fingerprint(projector.disp))
+    hit = _TRANSPOSED_CACHE.get(key)
+    if hit is not None and hit[0] is projector.disp:
+        _TRANSPOSED_CACHE.move_to_end(key)
+        return hit[1]
+    t = Projector(
+        rgb=np.asarray(projector.rgb).transpose(0, 2, 1, 3),
+        disp=np.asarray(projector.disp).transpose(0, 2, 1),
+        mask=np.asarray(projector.mask).transpose(0, 2, 1),
+        layer_res=np.asarray(projector.layer_res)[:, ::-1].copy(),
+        invz_min=np.asarray(projector.invz_min),
+        invz_max=np.asarray(projector.invz_max),
+        focal=np.asarray(projector.focal),
+        skew=np.asarray(projector.skew)[::-1].copy(),
+        position=np.asarray(projector.position)[[1, 0, 2]],
+        rotation=np.asarray(projector.rotation),
+        baseline=np.asarray(projector.baseline),
+        num_layers=projector.num_layers,
+        width=projector.height,
+        height=projector.width,
+    )
+    while len(_TRANSPOSED_CACHE) >= _TRANSPOSED_CACHE_MAX:
+        _TRANSPOSED_CACHE.popitem(last=False)
+    _TRANSPOSED_CACHE[key] = (projector.disp, t)
+    return t
+
+
 def _relative(projector: Projector, camera: Camera):
     """Projector pose in the camera frame (Z-negated position), and the
     baseline-normalized inverse-depth ranges the kernels expect.
@@ -375,6 +410,35 @@ def render_fast_view(
         np.asarray(camera.rotation, np.float64),
     )
     rotated = not np.allclose(rot_np, np.eye(3), atol=1e-5)
+
+    # y-only translation: a transpose maps it onto the x-only march
+    # (the lateral reduction's missing axis). Both world rotations must
+    # be identity so the transposed world poses still produce the
+    # swapped relative pose.
+    if (
+        method != "sweep"
+        and not rotated
+        and abs(pos_np[0]) < 1e-9
+        and abs(pos_np[2]) < 1e-9
+        and abs(pos_np[1]) > 1e-9
+        and np.allclose(np.asarray(projector.rotation), np.eye(3))
+        and np.allclose(np.asarray(camera.rotation), np.eye(3))
+    ):
+        proj_t = _transposed_projector(projector)
+        cam_t = Camera.create(
+            camera.height, camera.width,
+            focal_px=float(camera.focal_px),
+            position=np.asarray(camera.position)[[1, 0, 2]],
+            skew=np.asarray(camera.skew)[[1, 0]],
+        )
+        out = render_fast_view(
+            proj_t, cam_t, background=background, feathering=feathering,
+            to_srgb=to_srgb, num_planes=num_planes, chunk=chunk,
+            exact_color=exact_color, method=method, mask_mode=mask_mode,
+            refine=refine, config=config,
+        )
+        return jnp.swapaxes(out, 0, 1)
+
     c1 = jnp.asarray(pos_np, jnp.float32)
     rot1 = jnp.asarray(rot_np, jnp.float32)
     if mask_mode is None:

@@ -38,6 +38,7 @@ __all__ = [
     "make_mesh",
     "render_view_tiled",
     "render_trajectory_sharded",
+    "render_fast_trajectory_sharded",
     "render_fused_projectors",
 ]
 
@@ -363,3 +364,105 @@ def render_fused_projectors(
         stack([float(c) for c in layer_counts]),
     )
     return out[0]  # all shards carry the same fused image
+
+
+def render_fast_trajectory_sharded(
+    projector,
+    cameras_positions,
+    camera_template,
+    mesh: Mesh,
+    axis_name: str = "frame",
+    background=(0.0, 0.0, 0.0, 0.0),
+    num_planes: int | None = None,
+    feathering: float = 0.1,
+    mask_mode: str | None = None,
+    to_srgb: bool = True,
+):
+    """Data-parallel trajectory rendering on the PRODUCTION fast kernel:
+    frames shard over `axis_name`, each device runs the batched
+    first-crossing march (Pallas on TPU, the XLA oracle elsewhere) on its
+    frame shard against replicated source textures. The multi-chip
+    counterpart of models.renderer.render_fast_batch; the raycast-kernel
+    variant is render_trajectory_sharded.
+
+    `cameras_positions` (F, 3) world camera positions; poses must be
+    LATERAL relative to the projector (x-only translation, no rotation,
+    matched focal/dims) — the march's reduction. F must divide by the
+    axis size. Returns (F, H, W, 4) sharded on frames.
+    """
+    from ..models.renderer import _prepared_textures
+    from ..ops import sweep_march as _sweep_march
+
+    n = mesh.shape[axis_name]
+    f = len(cameras_positions)
+    if f % n:
+        raise ValueError(f"{f} frames not divisible by {n} devices")
+    cam = camera_template
+    if mask_mode is None:
+        mask_mode = "multiply" if projector.num_layers > 1 else "none"
+    if projector.num_layers != 1:
+        raise ValueError(
+            "render_fast_trajectory_sharded currently shards single-layer "
+            "projectors; composite LDI via render_fast_batch per shard"
+        )
+
+    pos = np.zeros((f, 3), np.float64)
+    for i in range(f):
+        p_i, r_i = relative_view_pose(
+            np.asarray(projector.position, np.float64),
+            np.asarray(projector.rotation, np.float64),
+            np.asarray(cameras_positions[i], np.float64),
+            np.asarray(cam.rotation, np.float64),
+        )
+        if not np.allclose(r_i, np.eye(3), atol=1e-5) or (
+            abs(p_i[1]) > 1e-9 or abs(p_i[2]) > 1e-9
+        ):
+            raise ValueError(
+                "render_fast_trajectory_sharded needs lateral poses; use "
+                "render_trajectory_sharded for arbitrary trajectories"
+            )
+        pos[i] = p_i
+
+    tex = _prepared_textures(projector)
+    lay = tex["layers"][0]
+    if (
+        abs(lay["focal_host"] - float(cam.focal_px)) > 1e-6
+        or lay["w"] != cam.width
+        or lay["h"] != cam.height
+    ):
+        raise ValueError(
+            "render_fast_trajectory_sharded needs matched focal/dims"
+        )
+    max_cx = float(np.abs(pos[:, 0]).max())
+    plan = _sweep_march.translation_plan(
+        lay["w"], lay["h"], cam.width, cam.height,
+        min(lay["focal_host"] * max_cx * lay["izmin_host"],
+            float(lay["w"] + cam.width)),
+        0.0,
+    )
+    tables, k = _sweep_march.snap_plane_tables_batch(
+        lay["focal_host"], pos[:, 0].tolist(),
+        lay["izmin_host"], lay["izmax_host"],
+    )
+    bg = jnp.asarray(background, jnp.float32)
+
+    def shard_fn(c1_shard, tab_shard, rgb, disp, mask):
+        return _sweep_march.render_translation_batch(
+            rgb, disp, mask, lay["izmin_host"], lay["izmax_host"],
+            c1_shard, lay["focal"], tab_shard, bg,
+            plan=plan, num_planes=k, feathering=feathering,
+            mask_mode=mask_mode, to_srgb=to_srgb,
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
+        out_specs=P(axis_name, None, None, None),
+        check_vma=False,
+    )
+    return fn(
+        jnp.asarray(pos, jnp.float32),
+        jnp.asarray(tables),
+        lay["rgb"], lay["disp"], lay["mask"],
+    )

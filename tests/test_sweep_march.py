@@ -296,3 +296,25 @@ def test_renderer_fast_auto_uses_march(rng):
         render(proj, cam, mode="raycast", mask_mode="none", num_steps=160)
     )
     assert _psnr(img, ref) >= 38.0
+
+
+def test_y_translation_transposed_march(rng):
+    """Vertical-only camera motion maps onto the x-march via the
+    transpose reduction and matches the exact ray march."""
+    from lif_tpu import Camera, projector_from_arrays
+    from lif_tpu.models.renderer import render_fast_view, render_mono_view
+
+    h, w = 96, 128
+    rgb, disp, mask = _scene(rng, h=h, w=w)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.1,
+        baseline=1.0,
+    )
+    cam = Camera.create(w, h, focal_px=0.78 * w, position=[0.0, 0.04, 0.0])
+    ref = np.asarray(render_mono_view(proj, cam, mask_mode="none",
+                                      num_steps=320))
+    fast = np.asarray(render_fast_view(proj, cam))
+    assert fast.shape == ref.shape
+    sl = np.s_[10:-10, 8:-8]
+    p = _psnr(fast[sl], ref[sl])
+    assert p > 42.0, f"y-translation march only {p:.1f} dB"
