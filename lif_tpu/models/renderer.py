@@ -205,6 +205,37 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
     }
 
 
+def _march_plan(lay, max_cx, out_w, out_h, phase_abs=0.0):
+    """The march's pad-plan recipe — ONE definition so the renderer
+    entry points and the sharded trajectory path cannot drift.
+
+    Caps the plan: a shift beyond src+out width puts every plane fully
+    outside the source (alpha 0 via the inside/taper gate), so larger
+    pads only waste VMEM on extreme poses. phase_abs: |constant skew
+    shift| to cover (plus a safety pixel)."""
+    max_shift = min(
+        lay["focal_host"] * max_cx * lay["izmin_host"]
+        + (abs(phase_abs) + 1.0 if phase_abs else 0.0),
+        float(lay["w"] + out_w),
+    )
+    return _sweep_march.translation_plan(
+        lay["w"], lay["h"], out_w, out_h, max_shift, 0.0
+    )
+
+
+def _march_plan_tables(lay, cxs, out_w, out_h, explicit_planes=None,
+                       phase_px=0.0):
+    """Shared march setup: pad plan + per-pose snap tables (B, K)."""
+    max_cx = max(abs(float(c)) for c in cxs)
+    plan = _march_plan(lay, max_cx, out_w, out_h, phase_abs=phase_px)
+    tabs, k = _sweep_march.snap_plane_tables_batch(
+        lay["focal_host"], [float(c) for c in cxs],
+        lay["izmin_host"], lay["izmax_host"],
+        num_planes=explicit_planes, phase_px=phase_px,
+    )
+    return plan, jnp.asarray(tabs), k
+
+
 _TRANSPOSED_CACHE: "_OrderedDict" = _OrderedDict()
 _TRANSPOSED_CACHE_MAX = 8
 
@@ -212,8 +243,19 @@ _TRANSPOSED_CACHE_MAX = 8
 def _transposed_projector(projector: Projector) -> Projector:
     """Axis-swapped copy (x<->y) for the y-translation march reduction,
     cached per projector so the transposed textures upload once, not per
-    frame."""
-    key = (id(projector.disp), _disp_fingerprint(projector.disp))
+    frame. Unlike the texture cache, the transposed copy bakes in POSE
+    and intrinsics, so the key covers every small field — a projector
+    moved via .replace(position=...) (same disp buffer) must miss."""
+    key = (
+        id(projector.disp), _disp_fingerprint(projector.disp),
+        np.asarray(projector.position).tobytes(),
+        np.asarray(projector.rotation).tobytes(),
+        np.asarray(projector.skew).tobytes(),
+        np.asarray(projector.focal).tobytes(),
+        np.asarray(projector.invz_min).tobytes(),
+        np.asarray(projector.invz_max).tobytes(),
+        float(np.asarray(projector.baseline)),
+    )
     hit = _TRANSPOSED_CACHE.get(key)
     if hit is not None and hit[0] is projector.disp:
         _TRANSPOSED_CACHE.move_to_end(key)
@@ -414,7 +456,9 @@ def render_fast_view(
     # y-only translation: a transpose maps it onto the x-only march
     # (the lateral reduction's missing axis). Both world rotations must
     # be identity so the transposed world poses still produce the
-    # swapped relative pose.
+    # swapped relative pose; every layer must be march-eligible
+    # (matched focal/dims) or the transpose would just be wasted work
+    # before a sweep fallback that handles y directly.
     if (
         method != "sweep"
         and not rotated
@@ -423,6 +467,13 @@ def render_fast_view(
         and abs(pos_np[1]) > 1e-9
         and np.allclose(np.asarray(projector.rotation), np.eye(3))
         and np.allclose(np.asarray(camera.rotation), np.eye(3))
+        and all(
+            abs(lay["focal_host"] - float(camera.focal_px))
+            < 1e-6 * float(camera.focal_px)
+            and lay["w"] == camera.width
+            and lay["h"] == camera.height
+            for lay in _prepared_textures(projector)["layers"]
+        )
     ):
         proj_t = _transposed_projector(projector)
         cam_t = Camera.create(
@@ -500,21 +551,10 @@ def render_fast_view(
                 "dims); use method='auto' to fall back automatically"
             )
         if m:
-            # cap the pad plan: a shift beyond src+out width puts every
-            # plane fully outside the source (alpha 0 via the inside/taper
-            # gate), so larger pads only waste VMEM on extreme poses
-            dxs_l = abs(lay["focal_host"] * float(sk1[0] - sk2[0])) + 1.0
-            max_shift = min(
-                lay["focal_host"] * abs(float(pos_np[0])) * lay["izmin_host"]
-                + dxs_l,
-                float(lay["w"] + camera.width),
-            )
-            plans.append(
-                _sweep_march.translation_plan(
-                    lay["w"], lay["h"], camera.width, camera.height,
-                    max_shift, 0.0,
-                )
-            )
+            plans.append(_march_plan(
+                lay, abs(float(pos_np[0])), camera.width, camera.height,
+                phase_abs=lay["focal_host"] * float(sk1[0] - sk2[0]),
+            ))
         else:
             plans.append(None)
         use_march.append(m)
@@ -682,16 +722,7 @@ def render_fast_batch(
                 "dims); use method='auto' to fall back automatically"
             )
         if m:
-            max_shift = min(
-                lay["focal_host"] * max_cx * lay["izmin_host"],
-                float(lay["w"] + cam0.width),
-            )
-            plans.append(
-                _sweep_march.translation_plan(
-                    lay["w"], lay["h"], cam0.width, cam0.height,
-                    max_shift, 0.0,
-                )
-            )
+            plans.append(_march_plan(lay, max_cx, cam0.width, cam0.height))
         else:
             plans.append(None)
         use_march.append(m)
@@ -931,15 +962,7 @@ def render_stereo_fast_batch(
                     "render_stereo_fast needs matched focal and dims per "
                     "layer; use render_stereo_view otherwise"
                 )
-            max_shift = min(
-                lay["focal_host"] * max_cx * lay["izmin_host"],
-                float(lay["w"] + cam0.width),
-            )
-            plans.append(
-                _sweep_march.translation_plan(
-                    lay["w"], lay["h"], cam0.width, cam0.height, max_shift, 0.0
-                )
-            )
+            plans.append(_march_plan(lay, max_cx, cam0.width, cam0.height))
         return tuple(plans)
 
     def _tables(prep, pos_b, sk1):
@@ -1276,14 +1299,7 @@ def render_fused_fast_batch(
                 raise ValueError(
                     "render_fused_fast needs matched focal/dims per layer"
                 )
-            max_shift = min(
-                lay["focal_host"] * max_cx * lay["izmin_host"],
-                float(lay["w"] + cam0.width),
-            )
-            plans.append(_sweep_march.translation_plan(
-                lay["w"], lay["h"], cam0.width, cam0.height,
-                max_shift, 0.0,
-            ))
+            plans.append(_march_plan(lay, max_cx, cam0.width, cam0.height))
             if snap:
                 tab, k_l = _sweep_march.snap_plane_tables_batch(
                     lay["focal_host"], pos_b[:, 0].tolist(),

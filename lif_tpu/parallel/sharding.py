@@ -398,12 +398,20 @@ def render_fast_trajectory_sharded(
     if f % n:
         raise ValueError(f"{f} frames not divisible by {n} devices")
     cam = camera_template
-    if mask_mode is None:
-        mask_mode = "multiply" if projector.num_layers > 1 else "none"
     if projector.num_layers != 1:
         raise ValueError(
             "render_fast_trajectory_sharded currently shards single-layer "
             "projectors; composite LDI via render_fast_batch per shard"
+        )
+    if mask_mode is None:
+        mask_mode = "none"  # single-layer reference default
+    if (
+        float(np.abs(np.asarray(projector.skew)).sum()) > 1e-9
+        or float(np.abs(np.asarray(cam.skew)).sum()) > 1e-9
+    ):
+        raise ValueError(
+            "render_fast_trajectory_sharded does not support skewed "
+            "frustums; use render_fast_batch per shard"
         )
 
     pos = np.zeros((f, 3), np.float64)
@@ -433,16 +441,11 @@ def render_fast_trajectory_sharded(
         raise ValueError(
             "render_fast_trajectory_sharded needs matched focal/dims"
         )
-    max_cx = float(np.abs(pos[:, 0]).max())
-    plan = _sweep_march.translation_plan(
-        lay["w"], lay["h"], cam.width, cam.height,
-        min(lay["focal_host"] * max_cx * lay["izmin_host"],
-            float(lay["w"] + cam.width)),
-        0.0,
-    )
-    tables, k = _sweep_march.snap_plane_tables_batch(
-        lay["focal_host"], pos[:, 0].tolist(),
-        lay["izmin_host"], lay["izmax_host"],
+    from ..models.renderer import _march_plan_tables
+
+    plan, tables, k = _march_plan_tables(
+        lay, pos[:, 0].tolist(), cam.width, cam.height,
+        explicit_planes=num_planes,
     )
     bg = jnp.asarray(background, jnp.float32)
 
@@ -463,6 +466,6 @@ def render_fast_trajectory_sharded(
     )
     return fn(
         jnp.asarray(pos, jnp.float32),
-        jnp.asarray(tables),
+        tables,
         lay["rgb"], lay["disp"], lay["mask"],
     )
