@@ -68,6 +68,36 @@ def _gather(tex, iy, ix):
     )
 
 
+def _patch_table(tex):
+    """(H, W[, C]) -> (H*W, 4[, C]) rows of the 2x2 texel patch anchored at
+    each texel: [t(y,x), t(y,x+1), t(y+1,x), t(y+1,x+1)], stored-edge
+    replicated.
+
+    Why: a 4-wide ROW gather costs ~5 ms/M rows on v5e where four separate
+    flat takes cost ~28 ms — the hardware fetch granularity makes the extra
+    row bytes nearly free, so a bilinear fetch becomes ONE indexed op
+    (docs/TPU_NOTES.md). The build is a pad+stack (memory-bound, sub-ms)
+    that XLA hoists/CSEs out of unrolled sampling loops."""
+    pads = ((0, 1), (0, 1)) + ((0, 0),) * (tex.ndim - 2)
+    p = jnp.pad(tex, pads, mode="edge")
+    h, w = tex.shape[0], tex.shape[1]
+    quad = jnp.stack(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=2
+    )  # (H, W, 4[, C])
+    return quad.reshape((h * w, 4) + tex.shape[2:])
+
+
+def _edge_weights(x0, y0, fx, fy, wmax, hmax):
+    """Zero the lerp weight wherever the old per-tap clamping collapsed
+    both taps onto the same texel (sample left of texel 0's center or at
+    the logical right/top edge) — the patch row's neighbour entry may lie
+    beyond the LOGICAL extent there, so it must get weight 0. Matches the
+    clamped 4-tap formulation bit-for-bit."""
+    fx = jnp.where((x0 >= 0) & (x0 < wmax), fx, 0.0)
+    fy = jnp.where((y0 >= 0) & (y0 < hmax), fy, 0.0)
+    return fx, fy
+
+
 def bilinear_sample(tex, u, v, res_w, res_h):
     """Bilinear sample with clamp-to-edge.
 
@@ -77,31 +107,39 @@ def bilinear_sample(tex, u, v, res_w, res_h):
       res_w, res_h: logical texture resolution (<= stored array dims).
 
     Returns array of shape ``u.shape`` (+ channel dim if tex has one).
+    Implemented as ONE 4-wide row gather of a precomputed 2x2-patch table
+    (see _patch_table) instead of four flat takes.
     """
     sx = u * res_w - 0.5
     sy = v * res_h - 0.5
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = sx - x0
-    fy = sy - y0
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    fx = sx - jnp.floor(sx)
+    fy = sy - jnp.floor(sy)
 
     wmax = jnp.asarray(res_w).astype(jnp.int32) - 1
     hmax = jnp.asarray(res_h).astype(jnp.int32) - 1
-    ix0 = jnp.clip(x0.astype(jnp.int32), 0, wmax)
-    ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, wmax)
-    iy0 = jnp.clip(y0.astype(jnp.int32), 0, hmax)
-    iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, hmax)
-    ix0, ix1, iy0, iy1 = _opaque(ix0, ix1, iy0, iy1)
+    fx, fy = _edge_weights(x0, y0, fx, fy, wmax, hmax)
+    ix0 = jnp.clip(x0, 0, wmax)
+    iy0 = jnp.clip(y0, 0, hmax)
+    (flat_idx,) = _opaque((iy0 * tex.shape[1] + ix0).reshape(-1))
 
-    t00 = _gather(tex, iy0, ix0)
-    t01 = _gather(tex, iy0, ix1)
-    t10 = _gather(tex, iy1, ix0)
-    t11 = _gather(tex, iy1, ix1)
-
+    quad = jnp.take(_patch_table(tex), flat_idx, axis=0)
+    out_shape = u.shape
     if tex.ndim == 3:
+        quad = quad.reshape(out_shape + (4, tex.shape[2]))
         fx = fx[..., None]
         fy = fy[..., None]
-
+    else:
+        quad = quad.reshape(out_shape + (4,))
+    if tex.ndim == 3:
+        t00, t01, t10, t11 = (
+            quad[..., 0, :], quad[..., 1, :], quad[..., 2, :], quad[..., 3, :]
+        )
+    else:
+        t00, t01, t10, t11 = (
+            quad[..., 0], quad[..., 1], quad[..., 2], quad[..., 3]
+        )
     top = t00 + (t01 - t00) * fx
     bot = t10 + (t11 - t10) * fx
     return top + (bot - top) * fy
@@ -135,33 +173,31 @@ def _unpack_rgbm(packed):
 
 
 def bilinear_sample_packed(packed_tex, u, v, res_w, res_h):
-    """Bilinear sample of a pack_rgbm texture: 4 int32 taps, unpack, blend.
-    Returns (..., 4) = [r, g, b, mask]."""
+    """Bilinear sample of a pack_rgbm texture: ONE 4-wide int32 row gather
+    of the 2x2-patch table, unpack, blend. Returns (..., 4) =
+    [r, g, b, mask]."""
     sx = u * res_w - 0.5
     sy = v * res_h - 0.5
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = (sx - x0)[..., None]
-    fy = (sy - y0)[..., None]
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    fx = sx - jnp.floor(sx)
+    fy = sy - jnp.floor(sy)
     wmax = jnp.asarray(res_w).astype(jnp.int32) - 1
     hmax = jnp.asarray(res_h).astype(jnp.int32) - 1
-    ix0 = jnp.clip(x0.astype(jnp.int32), 0, wmax)
-    ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, wmax)
-    iy0 = jnp.clip(y0.astype(jnp.int32), 0, hmax)
-    iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, hmax)
-    h, w = packed_tex.shape
-    flat = packed_tex.reshape(-1)
-    shape = u.shape
+    fx, fy = _edge_weights(x0, y0, fx, fy, wmax, hmax)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    ix0 = jnp.clip(x0, 0, wmax)
+    iy0 = jnp.clip(y0, 0, hmax)
+    (flat_idx,) = _opaque((iy0 * packed_tex.shape[1] + ix0).reshape(-1))
 
-    def tap(iy, ix):
-        return _unpack_rgbm(
-            jnp.take(flat, (iy * w + ix).reshape(-1)).reshape(shape)
-        )
-
-    t00 = tap(iy0, ix0)
-    t01 = tap(iy0, ix1)
-    t10 = tap(iy1, ix0)
-    t11 = tap(iy1, ix1)
+    quad = jnp.take(_patch_table(packed_tex), flat_idx, axis=0).reshape(
+        u.shape + (4,)
+    )
+    t00 = _unpack_rgbm(quad[..., 0])
+    t01 = _unpack_rgbm(quad[..., 1])
+    t10 = _unpack_rgbm(quad[..., 2])
+    t11 = _unpack_rgbm(quad[..., 3])
     top = t00 + (t01 - t00) * fx
     bot = t10 + (t11 - t10) * fx
     return top + (bot - top) * fy
