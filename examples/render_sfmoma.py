@@ -133,6 +133,21 @@ def main(argv=None):
     report["far_coverage"] = round(float(np.mean(far[..., 3])), 4)
     assert float(np.mean(far[..., 3])) < 0.01, "extreme pose should be empty"
 
+    # 4. production fast path agrees with the exact march at the novel
+    # pose (the snap-plane march's fidelity gate, end-to-end through the
+    # public API)
+    if args.mode == "raycast":
+        img_fast = sync(render(proj, cam([3 * baseline, 0.0, 0.0]),
+                               mode="fast"))
+        save_png(img_fast, os.path.join(args.out, "novel_right_fast.png"))
+        pf = psnr(np.asarray(img_fast)[crop][..., :3], nv[crop][..., :3])
+        report["fast_vs_march_psnr_dB"] = round(pf, 2)
+        assert pf > 30.0, (
+            f"fast path only {pf:.1f} dB vs the march at the novel pose "
+            "(the march's own discretization noise floor is ~34 dB; "
+            "below 30 means a real regression)"
+        )
+
     # optional orbit
     if args.frames:
         from lif_tpu import orbit_pose
