@@ -530,18 +530,24 @@ def render_fast_view(
 
     def _lateral_ok(lay):
         """The Pallas march handles the lateral reduction: translation
-        along +x, matched focal, output dims == layer dims."""
+        along +x, matched focal, layer dims == output dims OR larger by
+        an EVEN margin (outpainted LDI layers, LifLoader.ts:521-526 —
+        the centered window offset bx rides the shift tables; the
+        vertical margin is center-cropped with an integer offset)."""
         return (
             not rotated
             and abs(pos_np[1]) < 1e-9
             and abs(pos_np[2]) < 1e-9
             and abs(lay["focal_host"] - f2_host) < 1e-6 * f2_host
-            and lay["w"] == camera.width
-            and lay["h"] == camera.height
+            and lay["w"] >= camera.width
+            and lay["h"] >= camera.height
+            and (lay["w"] - camera.width) % 2 == 0
+            and (lay["h"] - camera.height) % 2 == 0
         )
 
     use_march = []
     plans = []
+    crops = []
     for lay in prepared["layers"]:
         m = method in ("march", "auto") and _lateral_ok(lay)
         if method == "march" and not m:
@@ -551,12 +557,18 @@ def render_fast_view(
                 "dims); use method='auto' to fall back automatically"
             )
         if m:
+            crop_y = (lay["h"] - camera.height) // 2
+            # the plan sees the y-cropped source (src_h == out_h; the
+            # Pallas y-chunk grid maps src and out rows 1:1)
             plans.append(_march_plan(
-                lay, abs(float(pos_np[0])), camera.width, camera.height,
+                dict(lay, h=camera.height),
+                abs(float(pos_np[0])), camera.width, camera.height,
                 phase_abs=lay["focal_host"] * float(sk1[0] - sk2[0]),
             ))
+            crops.append(crop_y)
         else:
             plans.append(None)
+            crops.append(0)
         use_march.append(m)
 
     if skewed and not all(use_march):
@@ -607,6 +619,7 @@ def render_fast_view(
         out_w=camera.width,
         out_h=camera.height,
         skewed=skewed,
+        crops=tuple(crops),
     )
     layer_args = tuple(
         dict(
@@ -1143,15 +1156,24 @@ def _fast_core(
     out_w,
     out_h,
     skewed=False,
+    crops=None,
 ):
     """The traced body of render_fast_view: per-layer fast kernels +
     front-to-back LDI compositing + background blend + gamma."""
     zero_bg = jnp.zeros(4, jnp.float32)
     result_rgb = None
     result_a = None
-    for lay, plan, m, k_l in zip(layers, plans, use_march, nums):
+    crops = crops or (0,) * len(layers)
+    for lay, plan, m, k_l, crop_y in zip(layers, plans, use_march, nums, crops):
         if m:
             rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+            if crop_y:
+                # outpainted layer taller than the view: center-crop to
+                # the output rows (static slice); validity/taper stays in
+                # the uncropped layer space via the crop_y kernel arg
+                rgb_l = rgb_l[crop_y : crop_y + out_h]
+                disp_l = disp_l[crop_y : crop_y + out_h]
+                mask_l = mask_l[crop_y : crop_y + out_h]
             offset = (0.0, 0.0)
             if skewed:
                 # x rides the warp tables (snap grid phase-matched so the
@@ -1168,7 +1190,7 @@ def _fast_core(
                 lay["plane_invz"], zero_bg,
                 plan=plan, num_planes=k_l, refine=refine,
                 feathering=feathering, mask_mode=mask_mode, to_srgb=False,
-                offset=offset,
+                offset=offset, crop_y=crop_y,
             )
         else:
             common = dict(

@@ -363,7 +363,7 @@ def _sweep_lateral(
     jax.jit,
     static_argnames=(
         "plan", "num_planes", "mask_mode", "to_srgb", "refine", "raw",
-        "interpret",
+        "crop_y", "interpret",
     ),
 )
 def render_translation_batch_pallas(
@@ -384,16 +384,21 @@ def render_translation_batch_pallas(
     refine: int = 0,
     raw: bool = False,
     offset=(0.0, 0.0),
+    crop_y: int = 0,
     interpret: bool = False,
 ):
     """Batched equivalent of sweep_march.render_translation_xla on TPU for
-    the LATERAL case: c1[i] = [cx_i, 0, 0], out dims == src dims, f1 == f2.
-    The caller (models/renderer) guarantees the reduction. plane_invz may
+    the LATERAL case: c1[i] = [cx_i, 0, 0], f1 == f2. The source may be
+    WIDER than the output (outpainted LDI layers — the centered-window
+    offset bx rides the shift tables); source HEIGHT must equal the
+    output height (the y-chunk grid maps src and out rows 1:1 — callers
+    center-crop taller sources, renderer._fast_core). plane_invz may
     be (K,) shared or (B, K) per-pose (snap grids). Returns
     (B, H, W, 4); the whole batch is ONE kernel launch sharing one source
     read per tile."""
     h, w = disp.shape
-    assert plan.out_w == w and plan.out_h == h, (plan, disp.shape)
+    assert plan.src_w == w and plan.src_h == h, (plan, disp.shape)
+    assert plan.out_h == h, (plan, "center-crop taller sources first")
     izmin = jnp.asarray(invz_min, jnp.float32)
     izmax = jnp.asarray(invz_max, jnp.float32)
     invz = jnp.asarray(plane_invz, jnp.float32)
@@ -407,9 +412,11 @@ def render_translation_batch_pallas(
 
     # transposed (channels, x, y) stack; x edge-padded for the shift range,
     # y padded to the 128-lane grid (values there never reach the output)
-    tw = _pick_tw(w)
+    tw = _pick_tw(plan.out_w)
     bw = _round_up(plan.tab_span_x + tw + 16, 64)
-    pad_hi_x = max(0, (w - tw) + bw - w - plan.pad_lo_x)
+    # the last out band starts at out_w - tw; its window must fit in the
+    # padded source
+    pad_hi_x = max(0, (plan.out_w - tw) + bw - w - plan.pad_lo_x)
     hp = _round_up(h, 128)
     rgbm = jnp.concatenate(
         [rgb.astype(jnp.float32), mask.astype(jnp.float32)[..., None]], axis=-1
@@ -432,6 +439,7 @@ def render_translation_batch_pallas(
         lambda f, r, rg, cc: _finalize(
             plan, f, r, rg, cc, f1, izmin, background,
             feathering, mask_mode, to_srgb, raw=raw, offset=offset,
+            crop_y=crop_y,
         )
     )(found, rstar, rgba_star, c1)
 
@@ -454,6 +462,7 @@ def render_translation_pallas(
     refine: int = 0,
     raw: bool = False,
     offset=(0.0, 0.0),
+    crop_y: int = 0,
     interpret: bool = False,
 ):
     """Single-pose wrapper: a batch of 1 through the batched kernel."""
@@ -462,7 +471,7 @@ def render_translation_pallas(
         jnp.asarray(c1, jnp.float32)[None], f1, plane_invz, background,
         plan=plan, num_planes=num_planes, feathering=feathering,
         mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
-        offset=offset, interpret=interpret,
+        offset=offset, crop_y=crop_y, interpret=interpret,
     )
     if raw:
         return out[0][0], out[1][0], out[2][0], out[3][0]

@@ -331,6 +331,7 @@ def hit_and_alpha(
     feathering: float,
     mask_mode: str,
     offset=(0.0, 0.0),
+    crop_y: int = 0,
 ):
     """Hit validity + composite alpha for the solved surface.
 
@@ -355,8 +356,11 @@ def hit_and_alpha(
     # source; validity must test the TRUE source position
     gx = jx + bx - f1 * c1[0] * invz_star + offset[0]
     gy = iy + by - f1 * c1[1] * invz_star + offset[1]
+    # crop_y: the caller center-cropped a TALLER (outpainted) layer to the
+    # output height; validity/taper must live in the UNCROPPED layer space
+    # so the feather sits at the outpaint edges, not the crop
     u1 = (gx + 0.5) / plan.src_w
-    v1 = (gy + 0.5) / plan.src_h
+    v1 = (gy + crop_y + 0.5) / (plan.src_h + 2 * crop_y)
     inside = (
         (u1 > 0.0) & (u1 < 1.0) & (v1 > 0.0) & (v1 < 1.0)
     ).astype(jnp.float32)
@@ -420,6 +424,7 @@ def _finalize(
     to_srgb: bool,
     raw: bool = False,
     offset=(0.0, 0.0),
+    crop_y: int = 0,
 ):
     """Hit validity, taper, mask, premultiply, background blend.
 
@@ -429,7 +434,7 @@ def _finalize(
     compositing (ops/stereo semantics; parallel fusion)."""
     hit, alpha = hit_and_alpha(
         plan, found, invz_star, rgba_star, c1, f1, feathering, mask_mode,
-        offset=offset,
+        offset=offset, crop_y=crop_y,
     )
     if raw:
         return rgba_star, alpha, hit, invz_star
@@ -446,7 +451,8 @@ def _finalize(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "num_planes", "mask_mode", "to_srgb", "refine", "raw"
+        "plan", "num_planes", "mask_mode", "to_srgb", "refine", "raw",
+        "crop_y",
     ),
 )
 def render_translation_xla(
@@ -467,6 +473,7 @@ def render_translation_xla(
     refine: int = 0,
     raw: bool = False,
     offset=(0.0, 0.0),
+    crop_y: int = 0,
 ):
     """XLA oracle: rolled fori_loop over planes (CPU-fast, TPU-slow).
 
@@ -593,6 +600,7 @@ def render_translation_xla(
     return _finalize(
         plan, found, invz_star, rgba_star, c1, f1, izmin, background,
         feathering, mask_mode, to_srgb, raw=raw, offset=offset,
+        crop_y=crop_y,
     )
 
 
@@ -614,6 +622,7 @@ def render_translation(
     refine: int = 0,
     raw: bool = False,
     offset=(0.0, 0.0),
+    crop_y: int = 0,
 ):
     """Backend dispatch: Pallas kernel on TPU, XLA fori_loop elsewhere."""
     if jax.default_backend() == "cpu":
@@ -621,7 +630,7 @@ def render_translation(
             rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
             background, plan, num_planes, feathering=feathering,
             mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
-            offset=offset,
+            offset=offset, crop_y=crop_y,
         )
     from .pallas.sweep_march import render_translation_pallas
 
@@ -629,7 +638,7 @@ def render_translation(
         rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
         background, plan, num_planes, feathering=feathering,
         mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
-        offset=offset,
+        offset=offset, crop_y=crop_y,
     )
 
 
@@ -651,6 +660,7 @@ def render_translation_batch(
     refine: int = 0,
     raw: bool = False,
     offset=(0.0, 0.0),
+    crop_y: int = 0,
 ):
     """Pose-batched dispatch: ONE Pallas launch for the whole batch on TPU
     (poses iterate innermost over the resident source window — one source
@@ -668,7 +678,7 @@ def render_translation_batch(
                 rgb, disp, mask, invz_min, invz_max, cc, f1, pp,
                 background, plan, num_planes, feathering=feathering,
                 mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
-                offset=offset,
+                offset=offset, crop_y=crop_y,
             )
         )(jnp.asarray(c1, jnp.float32), plane_b)
     from .pallas.sweep_march import render_translation_batch_pallas
@@ -677,5 +687,5 @@ def render_translation_batch(
         rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
         background, plan, num_planes, feathering=feathering,
         mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
-        offset=offset,
+        offset=offset, crop_y=crop_y,
     )

@@ -318,3 +318,33 @@ def test_y_translation_transposed_march(rng):
     sl = np.s_[10:-10, 8:-8]
     p = _psnr(fast[sl], ref[sl])
     assert p > 42.0, f"y-translation march only {p:.1f} dB"
+
+
+def test_outpainted_layer_march(rng):
+    """A layer LARGER than the view (outpainted LDI,
+    LifLoader.ts:521-526) rides the march: the centered x-window offset
+    goes through the shift tables and the vertical margin is
+    center-cropped, with validity/taper kept in the uncropped layer
+    space. Golden vs the exact march."""
+    from lif_tpu import Camera, projector_from_arrays
+    from lif_tpu.models.renderer import render_fast_view, render_mono_view
+
+    oh, ow = 96, 128          # camera / output dims
+    sh, sw = oh + 16, ow + 32  # outpainted layer dims (even margins)
+    rgb, disp, mask = _scene(rng, h=sh, w=sw)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * ow, invz_min=2.0, invz_max=0.1,
+        baseline=1.0,
+    )
+    cam = Camera.create(ow, oh, focal_px=0.78 * ow,
+                        position=[0.05, 0.0, 0.0])
+    ref = np.asarray(render_mono_view(proj, cam, mask_mode="none",
+                                      num_steps=320))
+    fast = np.asarray(render_fast_view(proj, cam, mask_mode="none"))
+    assert fast.shape == ref.shape
+    sl = np.s_[6:-6, 8:-8]
+    p = _psnr(fast[sl], ref[sl])
+    assert p > 42.0, f"outpainted march only {p:.1f} dB"
+    # no spurious edge feather: the outpaint margin keeps the view
+    # interior fully opaque where the march hit
+    assert float(fast[sl][..., 3].min()) > 0.9
