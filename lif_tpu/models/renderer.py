@@ -719,14 +719,17 @@ def render_fast_batch(
 
     use_march = []
     plans = []
+    crops = []
     max_cx = float(np.abs(pos_b[:, 0]).max())
     for lay in prepared["layers"]:
         m = (
             method in ("march", "auto")
             and lateral
             and abs(lay["focal_host"] - f2_host) < 1e-6 * f2_host
-            and lay["w"] == cam0.width
-            and lay["h"] == cam0.height
+            and lay["w"] >= cam0.width
+            and lay["h"] >= cam0.height
+            and (lay["w"] - cam0.width) % 2 == 0
+            and (lay["h"] - cam0.height) % 2 == 0
         )
         if method == "march" and not m:
             raise ValueError(
@@ -735,9 +738,13 @@ def render_fast_batch(
                 "dims); use method='auto' to fall back automatically"
             )
         if m:
-            plans.append(_march_plan(lay, max_cx, cam0.width, cam0.height))
+            plans.append(_march_plan(
+                dict(lay, h=cam0.height), max_cx, cam0.width, cam0.height
+            ))
+            crops.append((lay["h"] - cam0.height) // 2)
         else:
             plans.append(None)
+            crops.append(0)
         use_march.append(m)
 
     # per-layer plane tables: snap grids are per-pose (B, K_l), padded to
@@ -777,6 +784,7 @@ def render_fast_batch(
         to_srgb=to_srgb,
         out_w=cam0.width,
         out_h=cam0.height,
+        crops=tuple(crops),
     )
     layer_args = tuple(
         dict(
@@ -822,20 +830,28 @@ def _fast_batch_core(
     to_srgb,
     out_w,
     out_h,
+    crops=None,
 ):
     """Traced body of render_fast_batch: per-layer batched kernels +
     front-to-back LDI compositing over the batch axis."""
     zero_bg = jnp.zeros(4, jnp.float32)
     result_rgb = None
     result_a = None
-    for lay, plan, m, k_l in zip(layers, plans, use_march, nums):
+    crops = crops or (0,) * len(layers)
+    for lay, plan, m, k_l, crop_y in zip(layers, plans, use_march, nums, crops):
         if m:
+            rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+            if crop_y:
+                rgb_l = rgb_l[crop_y : crop_y + out_h]
+                disp_l = disp_l[crop_y : crop_y + out_h]
+                mask_l = mask_l[crop_y : crop_y + out_h]
             layer = _sweep_march.render_translation_batch(
-                lay["rgb"], lay["disp"], lay["mask"],
+                rgb_l, disp_l, mask_l,
                 lay["izmin"], lay["izmax"], c1_b, lay["focal"],
                 lay["plane_invz"], zero_bg,
                 plan=plan, num_planes=k_l, refine=refine,
                 feathering=feathering, mask_mode=mask_mode, to_srgb=False,
+                crop_y=crop_y,
             )  # (B, H, W, 4)
         else:
             frames = []

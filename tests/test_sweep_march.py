@@ -348,3 +348,25 @@ def test_outpainted_layer_march(rng):
     # no spurious edge feather: the outpaint margin keeps the view
     # interior fully opaque where the march hit
     assert float(fast[sl][..., 3].min()) > 0.9
+
+
+def test_outpainted_layer_march_batch(rng):
+    """Batched path: outpainted layers match per-frame renders."""
+    from lif_tpu import Camera, projector_from_arrays, render_fast_batch
+    from lif_tpu.models.renderer import render_fast_view
+
+    oh, ow = 64, 128
+    sh, sw = oh + 16, ow + 32
+    rgb, disp, mask = _scene(rng, h=sh, w=sw)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * ow, invz_min=2.0, invz_max=0.1,
+        baseline=1.0,
+    )
+    cams = [
+        Camera.create(ow, oh, focal_px=0.78 * ow, position=[0.02 * i, 0, 0])
+        for i in range(1, 4)
+    ]
+    batched = np.asarray(render_fast_batch(proj, cams, mask_mode="none"))
+    for i, cam in enumerate(cams):
+        single = np.asarray(render_fast_view(proj, cam, mask_mode="none"))
+        assert np.abs(batched[i] - single).max() < 1e-4, i
