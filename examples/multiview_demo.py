@@ -32,16 +32,28 @@ import numpy as np
 
 
 def build_stereo_lif(small=False) -> bytes:
+    """Author a 2-view stereo LIF. The right-eye view is SYNTHESIZED from
+    the left with the renderer (novel view + solved depth at +baseline):
+    duplicating one image at two positions would describe two DIFFERENT
+    scenes — each view's rgb/depth is valid only at ITS pose — and the
+    stereo blend would ghost by a full eye separation. A real stereo LIF
+    carries per-eye imagery; this builds one."""
+    import io
+
     from PIL import Image
 
+    from lif_tpu import (
+        Camera,
+        load_lif_file,
+        render_depth_fast,
+        render_fast_view,
+    )
     from lif_tpu.io import container
 
     jpeg = open("/root/reference/public/assets/rgb.jpg", "rb").read()
     depth = open("/root/reference/public/assets/depth.png", "rb").read()
     w, h = Image.open("/root/reference/public/assets/rgb.jpg").size
     if small:
-        import io
-
         im = Image.open(io.BytesIO(jpeg)).resize((w // 4, h // 4))
         buf = io.BytesIO()
         im.save(buf, "JPEG", quality=95)
@@ -51,9 +63,40 @@ def build_stereo_lif(small=False) -> bytes:
         dm.save(buf, "PNG")
         depth = buf.getvalue()
         w, h = w // 4, h // 4
+
+    # load the LEFT view alone, synthesize the RIGHT eye from it
+    mono = {
+        "views": [{
+            "image": {"blob_id": -1},
+            "inv_z_map": {"blob_id": 20, "min": 0.09, "max": 0.0001},
+            "width_px": w, "height_px": h, "focal_px": 0.78 * w,
+            "position": [-0.5, 0, 0], "rotation": [0, 0, 0],
+        }],
+        "baseline_mm": 45.0,
+    }
+    left = load_lif_file(container.write(jpeg, mono, {20: depth}))
+    proj = left.projectors[0].to_device()
+    focal = float(proj.focal[0])
+    baseline = float(proj.baseline)
+    cam_r = Camera.create(w, h, focal_px=focal,
+                          position=[baseline / 2, 0.0, 0.0])
+    rgb_r = np.asarray(render_fast_view(proj, cam_r, to_srgb=True,
+                                        mask_mode="none"))[..., :3]
+    invz_r = np.asarray(render_depth_fast(proj, cam_r))
+    # encode: sRGB JPEG (top-down) + 8-bit normalized invz PNG
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.clip(rgb_r[::-1], 0, 1) * 255).astype(np.uint8)
+    ).save(buf, "JPEG", quality=95)
+    jpeg_r = buf.getvalue()
+    t = np.clip((invz_r - 0.0001) / (0.09 - 0.0001), 0.0, 1.0)
+    buf = io.BytesIO()
+    Image.fromarray((t[::-1] * 255).astype(np.uint8), mode="L").save(
+        buf, "PNG"
+    )
+    depth_r = buf.getvalue()
+
     view = {
-        "image": {"blob_id": -1},
-        "inv_z_map": {"blob_id": 20, "min": 0.09, "max": 0.0001},
         "width_px": w, "height_px": h, "focal_px": 0.78 * w,
         "rotation": [0, 0, 0],
     }
@@ -61,13 +104,17 @@ def build_stereo_lif(small=False) -> bytes:
     # views at -+0.5 land at -+baseline/2 meters
     meta = {
         "views": [
-            dict(view, position=[-0.5, 0, 0]),
-            dict(view, position=[0.5, 0, 0]),
+            dict(view, position=[-0.5, 0, 0],
+                 image={"blob_id": -1},
+                 inv_z_map={"blob_id": 20, "min": 0.09, "max": 0.0001}),
+            dict(view, position=[0.5, 0, 0],
+                 image={"blob_id": 30},
+                 inv_z_map={"blob_id": 31, "min": 0.09, "max": 0.0001}),
         ],
         "baseline_mm": 45.0,
         "stereo_render_data": {"invd": 0.045},
     }
-    return container.write(jpeg, meta, {20: depth})
+    return container.write(jpeg, meta, {20: depth, 30: jpeg_r, 31: depth_r})
 
 
 def save_png(img, path):

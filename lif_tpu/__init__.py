@@ -40,6 +40,7 @@ from .models.renderer import (  # noqa: F401
     RenderMode,
     render,
     render_fast_batch,
+    render_depth_fast,
     render_fused_fast,
     render_fused_fast_batch,
     render_fast_view,

@@ -30,6 +30,7 @@ __all__ = [
     "render",
     "render_fast_batch",
     "render_fast_view",
+    "render_depth_fast",
     "render_fused_fast",
     "render_fused_fast_batch",
     "render_mono_view",
@@ -1242,6 +1243,51 @@ def _fast_core(
     return _composite.finish_over_background(
         result_rgb, result_a, background, to_srgb
     )
+
+
+def render_depth_fast(
+    projector: Projector,
+    camera: Camera,
+    config: RenderConfig | None = None,
+):
+    """Solved surface inverse depth at a novel pose, in LIF units (1/m
+    when baseline is meters): the production march's invz_star rescaled
+    by baseline. 0 where no surface was hit. Returns (H, W) float32.
+
+    The depth-map counterpart of render_fast_view — e.g. for authoring a
+    synthesized stereo view's inv_z_map, depth compositing with external
+    renderers, or dense picking. Lateral poses only (the march's
+    reduction)."""
+    cfg = config or DEFAULT_CONFIG
+    pos_np, rot_np = relative_view_pose(
+        np.asarray(projector.position, np.float64),
+        np.asarray(projector.rotation, np.float64),
+        np.asarray(camera.position, np.float64),
+        np.asarray(camera.rotation, np.float64),
+    )
+    if not np.allclose(rot_np, np.eye(3), atol=1e-5) or (
+        abs(pos_np[1]) > 1e-9 or abs(pos_np[2]) > 1e-9
+    ):
+        raise ValueError("render_depth_fast needs a lateral (x-only) pose")
+    tex = _prepared_textures(projector)
+    lay = tex["layers"][0]
+    if (
+        abs(lay["focal_host"] - float(camera.focal_px)) > 1e-6
+        or lay["w"] != camera.width
+        or lay["h"] != camera.height
+    ):
+        raise ValueError("render_depth_fast needs matched focal/dims")
+    plan, tab, k = _march_plan_tables(
+        lay, [float(pos_np[0])], camera.width, camera.height
+    )
+    _, _, _, izs = _sweep_march.render_translation(
+        lay["rgb"], lay["disp"], lay["mask"],
+        lay["izmin"], lay["izmax"],
+        jnp.asarray(pos_np, jnp.float32), lay["focal"], tab[0],
+        jnp.zeros(4, jnp.float32),
+        plan=plan, num_planes=k, mask_mode="none", to_srgb=False, raw=True,
+    )
+    return izs * jnp.asarray(projector.baseline, jnp.float32)
 
 
 def render_fused_fast(projectors: Sequence[Projector], camera: Camera, **kw):

@@ -4,10 +4,12 @@ Production implementation of ops/sweep_march.py's translation sweep
 (reference semantics: src/shaders/rayCastMonoLDI.glsl:219-297's march,
 specialized to aligned views where every inverse-depth plane's warp is a
 pure translation). The kernel handles the LATERAL case — translation along
-+x only, matched focal, output dims == source dims. The renderer reduces
-every translation to this form (a translation in any direction is lateral
-in the intermediate frame whose x-axis points along it; rotation is
-factored into the phase-B homography, see ops/sweep_fast.render_rotated).
++x only, matched focal; the source may be WIDER than the output
+(outpainted LDI layers — the centered offset rides the shift tables) and
+taller sources are center-cropped by the renderer with the taper kept in
+uncropped layer space (crop_y). y-only translations reach here through
+the renderer's transpose reduction; rotation is factored into the
+phase-B homography (ops/sweep_fast.render_rotated).
 
 Why a Pallas kernel: the XLA formulation materializes K per-plane (H, W)
 intermediates in HBM (~K x 12 B/pixel of traffic). Here the whole K-plane
