@@ -980,20 +980,26 @@ def render_stereo_fast_batch(
     mask_mode = "hard" if num_layers > 1 else "none"
 
     def _plans(prep, pos_b):
-        plans = []
+        plans, crops = [], []
         max_cx = float(np.abs(pos_b[:, 0]).max())
         for lay in prep["layers"][:num_layers]:
             if (
                 abs(lay["focal_host"] - f2_host) > 1e-6 * f2_host
-                or lay["w"] != cam0.width
-                or lay["h"] != cam0.height
+                or lay["w"] < cam0.width
+                or lay["h"] < cam0.height
+                or (lay["w"] - cam0.width) % 2
+                or (lay["h"] - cam0.height) % 2
             ):
                 raise ValueError(
                     "render_stereo_fast needs matched focal and dims per "
-                    "layer; use render_stereo_view otherwise"
+                    "layer (or even-margin outpainted layers); use "
+                    "render_stereo_view otherwise"
                 )
-            plans.append(_march_plan(lay, max_cx, cam0.width, cam0.height))
-        return tuple(plans)
+            plans.append(_march_plan(
+                dict(lay, h=cam0.height), max_cx, cam0.width, cam0.height
+            ))
+            crops.append((lay["h"] - cam0.height) // 2)
+        return tuple(plans), tuple(crops)
 
     def _tables(prep, pos_b, sk1):
         nums, tables, doffs = [], [], []
@@ -1016,9 +1022,13 @@ def render_stereo_fast_batch(
     nums_l, tables_l, doffs_l = _tables(prep_l, pos_l, sk_l)
     nums_r, tables_r, doffs_r = _tables(prep_r, pos_r, sk_r)
 
+    plans_l, crops_l = _plans(prep_l, pos_l)
+    plans_r, crops_r = _plans(prep_r, pos_r)
     core = _stereo_fast_core_jit(
-        plans_l=_plans(prep_l, pos_l),
-        plans_r=_plans(prep_r, pos_r),
+        plans_l=plans_l,
+        plans_r=plans_r,
+        crops_l=crops_l,
+        crops_r=crops_r,
         num_layers=num_layers,
         nums_l=nums_l,
         nums_r=nums_r,
@@ -1080,6 +1090,8 @@ def _stereo_fast_core(
     mask_mode,
     to_srgb,
     skewed=False,
+    crops_l=None,
+    crops_r=None,
 ):
     """Traced body of render_stereo_fast_batch: per-view batched march
     (raw outputs), occlusion fill + view-weight blend per layer
@@ -1095,8 +1107,16 @@ def _stereo_fast_core(
 
     result_rgb = None
     result_a = None
-    def _eye(lay, c1_b, plan, k_l):
+    crops_l = crops_l or (0,) * num_layers
+    crops_r = crops_r or (0,) * num_layers
+
+    def _eye(lay, c1_b, plan, k_l, crop_y):
         rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+        if crop_y:
+            out_h = plan.out_h
+            rgb_l = rgb_l[crop_y : crop_y + out_h]
+            disp_l = disp_l[crop_y : crop_y + out_h]
+            mask_l = mask_l[crop_y : crop_y + out_h]
         offset = (0.0, 0.0)
         if skewed:
             d = lay["doff"]
@@ -1109,13 +1129,15 @@ def _stereo_fast_core(
             c1_b, lay["focal"], lay["plane_invz"], zero_bg,
             plan=plan, num_planes=k_l, refine=refine,
             feathering=feathering, mask_mode=mask_mode, to_srgb=False,
-            raw=True, offset=offset,
+            raw=True, offset=offset, crop_y=crop_y,
         )
 
     for i in range(num_layers):
         ll, lr = layers_l[i], layers_r[i]
-        rgba_l, a_l, hit_l, _ = _eye(ll, c1l_b, plans_l[i], nums_l[i])
-        rgba_r, a_r, hit_r, _ = _eye(lr, c1r_b, plans_r[i], nums_r[i])
+        rgba_l, a_l, hit_l, _ = _eye(ll, c1l_b, plans_l[i], nums_l[i],
+                                     crops_l[i])
+        rgba_r, a_r, hit_r, _ = _eye(lr, c1r_b, plans_r[i], nums_r[i],
+                                     crops_r[i])
         lA = jnp.concatenate([rgba_l[..., :3], a_l[..., None]], axis=-1)
         rA = jnp.concatenate([rgba_r[..., :3], a_r[..., None]], axis=-1)
         # Occlusion fill, sequential like the GLSL (:372-381): the R test

@@ -122,3 +122,29 @@ def test_stereo_fast_ldi_masked(rng):
     mse = np.mean((exact[..., :3][keep] - fast[..., :3][keep]) ** 2)
     p = 10 * np.log10(1.0 / max(float(mse), 1e-12))
     assert p >= 30.0, f"only {p:.1f} dB vs the exact stereo kernel (masked)"
+
+
+def test_stereo_fast_outpainted_layers(rng):
+    """Outpainted (larger-than-view) layers ride the fast stereo path:
+    matches the exact stereo kernel like the matched-dims case."""
+    h, w = 96, 128
+    sh, sw = h + 16, w + 32
+    ll = make_layer(rng, sh, sw)
+    lr = make_layer(rng, sh, sw)
+    eye = 0.03
+    left = projector_from_arrays(
+        np.asarray(ll["rgb"], np.float32), np.asarray(ll["disp"], np.float32),
+        focal_px=0.78 * w, invz_min=ll["invz_min"], invz_max=ll["invz_max"],
+        baseline=1.0, position=(-eye, 0.0, 0.0),
+    )
+    right = projector_from_arrays(
+        np.asarray(lr["rgb"], np.float32), np.asarray(lr["disp"], np.float32),
+        focal_px=0.78 * w, invz_min=lr["invz_min"], invz_max=lr["invz_max"],
+        baseline=1.0, position=(eye, 0.0, 0.0),
+    )
+    cam = Camera.create(w, h, focal_px=0.78 * w, position=[0.01, 0.0, 0.0])
+    exact = render_stereo_view(left, right, cam, num_steps=160)
+    fast = render_stereo_fast(left, right, cam, num_planes=160)
+    assert np.asarray(fast).shape == np.asarray(exact).shape
+    p = _psnr(fast, exact)
+    assert p >= 35.0, f"outpainted stereo fast only {p:.1f} dB"

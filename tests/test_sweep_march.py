@@ -370,3 +370,30 @@ def test_outpainted_layer_march_batch(rng):
     for i, cam in enumerate(cams):
         single = np.asarray(render_fast_view(proj, cam, mask_mode="none"))
         assert np.abs(batched[i] - single).max() < 1e-4, i
+
+
+def test_render_depth_fast_identity_and_parallax(rng):
+    """render_depth_fast returns the solved surface inverse depth in LIF
+    units: at identity it reproduces the decoded disparity map; at a
+    lateral pose it matches the march's own surface (warped disp)."""
+    from lif_tpu import Camera, projector_from_arrays, render_depth_fast
+
+    h, w = 64, 96
+    rgb, disp, mask = _scene(rng, h=h, w=w)
+    izmin, izmax, baseline = 1.8, 0.09, 0.5
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * w, invz_min=izmin, invz_max=izmax,
+        baseline=baseline,
+    )
+    cam0 = Camera.create(w, h, focal_px=0.78 * w)
+    z0 = np.asarray(render_depth_fast(proj, cam0))
+    expect = izmax + (izmin - izmax) * disp  # LIF units
+    sl = np.s_[4:-4, 6:-6]
+    assert np.abs(z0[sl] - expect[sl]).max() < 2e-2 * (izmin - izmax)
+
+    cam1 = Camera.create(w, h, focal_px=0.78 * w, position=[0.03, 0, 0])
+    z1 = np.asarray(render_depth_fast(proj, cam1))
+    assert z1.shape == (h, w)
+    assert np.isfinite(z1).all()
+    # parallax moved the surface: the maps differ where depth varies
+    assert np.abs(z1[sl] - z0[sl]).max() > 1e-3
