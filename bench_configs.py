@@ -45,7 +45,6 @@ def main():
     import jax.numpy as jnp
 
     from lif_tpu import Camera, load_lif_file, render, orbit_pose
-    from lif_tpu.io import container
     from lif_tpu.models.renderer import (
         render_fast_batch,
         render_fast_view,
@@ -54,20 +53,11 @@ def main():
     )
     from lif_tpu.models.projector import resample_projector
 
-    # --- build the SFMoMA LIF in memory ---
-    jpeg = open("/root/reference/public/assets/rgb.jpg", "rb").read()
-    depth = open("/root/reference/public/assets/depth.png", "rb").read()
-    meta = {
-        "views": [{
-            "image": {"blob_id": -1},
-            "inv_z_map": {"blob_id": 20, "min": 0.09, "max": 0.0001},
-            "width_px": W, "height_px": H, "focal_px": 0.78 * W,
-            "position": [0, 0, 0], "rotation": [0, 0, 0],
-        }],
-        "baseline_mm": 45.0,
-        "stereo_render_data": {"invd": 0.045},
-    }
-    result = load_lif_file(container.write(jpeg, meta, {20: depth}))
+    # --- build the SFMoMA LIF in memory (single source of the scene
+    # constants: examples/render_sfmoma.py) ---
+    from examples.render_sfmoma import build_sfmoma_lif
+
+    result = load_lif_file(build_sfmoma_lif())
     proj = result.projectors[0].to_device()
     focal = float(proj.focal[0])
     results = {}

@@ -50,19 +50,9 @@ def build_stereo_lif(small=False) -> bytes:
     )
     from lif_tpu.io import container
 
-    jpeg = open("/root/reference/public/assets/rgb.jpg", "rb").read()
-    depth = open("/root/reference/public/assets/depth.png", "rb").read()
-    w, h = Image.open("/root/reference/public/assets/rgb.jpg").size
-    if small:
-        im = Image.open(io.BytesIO(jpeg)).resize((w // 4, h // 4))
-        buf = io.BytesIO()
-        im.save(buf, "JPEG", quality=95)
-        jpeg = buf.getvalue()
-        dm = Image.open(io.BytesIO(depth)).resize((w // 4, h // 4))
-        buf = io.BytesIO()
-        dm.save(buf, "PNG")
-        depth = buf.getvalue()
-        w, h = w // 4, h // 4
+    from render_sfmoma import sfmoma_assets
+
+    jpeg, depth, w, h = sfmoma_assets(small)
 
     # load the LEFT view alone, synthesize the RIGHT eye from it
     mono = {

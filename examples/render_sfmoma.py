@@ -27,22 +27,43 @@ import time
 import numpy as np
 
 
-def build_sfmoma_lif() -> bytes:
-    """Author the SFMoMA scene as an in-memory LIF container
-    (reference scene constants: index.html:142-168)."""
-    from lif_tpu.io import container
+def sfmoma_assets(small: bool = False):
+    """The SFMoMA demo assets (reference: public/assets, scene constants
+    index.html:142-168). Returns (jpeg_bytes, depth_png_bytes, w, h);
+    small=True downsamples 4x for quick CPU runs."""
+    import io
+
+    from PIL import Image
 
     jpeg = open("/root/reference/public/assets/rgb.jpg", "rb").read()
     depth = open("/root/reference/public/assets/depth.png", "rb").read()
-    from PIL import Image
-
     w, h = Image.open("/root/reference/public/assets/rgb.jpg").size
+    if small:
+        im = Image.open(io.BytesIO(jpeg)).resize((w // 4, h // 4))
+        buf = io.BytesIO()
+        im.save(buf, "JPEG", quality=95)
+        jpeg = buf.getvalue()
+        dm = Image.open(io.BytesIO(depth)).resize((w // 4, h // 4))
+        buf = io.BytesIO()
+        dm.save(buf, "PNG")
+        depth = buf.getvalue()
+        w, h = w // 4, h // 4
+    return jpeg, depth, w, h
+
+
+def build_sfmoma_lif(position=(0, 0, 0), small: bool = False) -> bytes:
+    """Author the SFMoMA scene as an in-memory LIF container — THE single
+    source of the scene constants for the benches and examples
+    (reference: index.html:142-168)."""
+    from lif_tpu.io import container
+
+    jpeg, depth, w, h = sfmoma_assets(small)
     meta = {
         "views": [{
             "image": {"blob_id": -1},
             "inv_z_map": {"blob_id": 20, "min": 0.09, "max": 0.0001},
             "width_px": w, "height_px": h, "focal_px": 0.78 * w,
-            "position": [0, 0, 0], "rotation": [0, 0, 0],
+            "position": list(position), "rotation": [0, 0, 0],
         }],
         "baseline_mm": 45.0,
         "stereo_render_data": {"invd": 0.045},

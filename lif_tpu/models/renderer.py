@@ -154,9 +154,6 @@ def _prepared_textures(projector):
                 rgb=jnp.asarray(projector.rgb[i, :h_i, :w_i]),
                 disp=jnp.asarray(projector.disp[i, :h_i, :w_i]),
                 mask=mask_i,
-                # stereo's dilated hard-discard mask, prepared once
-                # (erode + threshold replaces isMaskAround's 9 samples)
-                mask_eroded=_sweep_march.erode_mask_for_stereo(mask_i),
                 disp_host=np.asarray(projector.disp[i, :h_i, :w_i]),
                 focal=jnp.float32(float(np.asarray(projector.focal[i]))),
                 focal_host=float(np.asarray(projector.focal[i])),
@@ -176,6 +173,27 @@ def _prepared_textures(projector):
     return prepared
 
 
+_ERODED_CACHE: "_OrderedDict" = _OrderedDict()
+_ERODED_CACHE_MAX = 32
+
+
+def _eroded_mask(projector, idx, mask_arr):
+    """Stereo's dilated hard-discard mask (erode + threshold replaces
+    isMaskAround's 9 samples), computed LAZILY on first stereo use: the
+    erosion is ~10 eager device ops per layer, which mono-only workloads
+    must not pay (docs/TPU_NOTES.md dispatch costs)."""
+    key = (id(projector.disp), _disp_fingerprint(projector.disp), idx)
+    hit = _ERODED_CACHE.get(key)
+    if hit is not None and hit[0] is projector.disp:
+        _ERODED_CACHE.move_to_end(key)
+        return hit[1]
+    eroded = _sweep_march.erode_mask_for_stereo(mask_arr)
+    while len(_ERODED_CACHE) >= _ERODED_CACHE_MAX:
+        _ERODED_CACHE.popitem(last=False)
+    _ERODED_CACHE[key] = (projector.disp, eroded)
+    return eroded
+
+
 def _prepared_fast(projector, num_planes, plane_mode="uniform"):
     """Prepared textures + per-(num_planes, plane_mode) invz plane tables.
     The heavy texture entries are shared across table variants
@@ -185,7 +203,11 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
         id(projector.disp), _disp_fingerprint(projector.disp),
         num_planes, plane_mode,
     )
-    tabs = _TABLE_CACHE.get(key)
+    hit = _TABLE_CACHE.get(key)
+    # like the texture cache, verify the strong reference: a recycled
+    # object id (freed projector, fingerprint 0 for device arrays) must
+    # not serve another projector's plane tables
+    tabs = hit[1] if (hit is not None and hit[0] is projector.disp) else None
     if tabs is None:
         tabs = [
             jnp.asarray(_plane_table(
@@ -196,7 +218,7 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
         ]
         while len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
             _TABLE_CACHE.popitem(last=False)
-        _TABLE_CACHE[key] = tabs
+        _TABLE_CACHE[key] = (projector.disp, tabs)
     return {
         "skew_ok": tex["skew_ok"],
         "layers": [
@@ -204,6 +226,21 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
             for lay, tab in zip(tex["layers"], tabs)
         ],
     }
+
+
+def _march_eligible(lay, f2_host, out_w, out_h):
+    """ONE definition of per-layer march eligibility (matched focal;
+    dims equal to the output or larger by an EVEN outpaint margin; an
+    8-divisible output width for the Pallas band grid) — shared by the
+    mono, batch, and stereo fast paths so the predicate cannot drift."""
+    return (
+        abs(lay["focal_host"] - f2_host) < 1e-6 * f2_host
+        and out_w % 8 == 0
+        and lay["w"] >= out_w
+        and lay["h"] >= out_h
+        and (lay["w"] - out_w) % 2 == 0
+        and (lay["h"] - out_h) % 2 == 0
+    )
 
 
 def _march_plan(lay, max_cx, out_w, out_h, phase_abs=0.0):
@@ -526,24 +563,27 @@ def render_fast_view(
             "skewed frustums are supported only on the lateral march "
             "path (no rotation, x-only translation)"
         )
+    # equal nonzero skews cancel (P = F1 S(sk1-sk2) F2^-1) — but ONLY for
+    # unrotated views; with R != I the skew matrices straddle the
+    # rotation and do not cancel, and the rotated fallback ignores skew
+    if rotated and (np.abs(sk1).sum() + np.abs(sk2).sum()) > 1e-12:
+        raise ValueError(
+            "render_fast_view does not support skew on rotated poses; "
+            "use render_mono_view (the exact march handles it)"
+        )
 
     f2_host = float(camera.focal_px)
 
     def _lateral_ok(lay):
         """The Pallas march handles the lateral reduction: translation
-        along +x, matched focal, layer dims == output dims OR larger by
-        an EVEN margin (outpainted LDI layers, LifLoader.ts:521-526 —
-        the centered window offset bx rides the shift tables; the
-        vertical margin is center-cropped with an integer offset)."""
+        along +x plus the shared per-layer predicate (_march_eligible:
+        matched focal, even-margin outpainted dims, 8-divisible output
+        width so _pick_tw cannot fail inside the jitted core)."""
         return (
             not rotated
             and abs(pos_np[1]) < 1e-9
             and abs(pos_np[2]) < 1e-9
-            and abs(lay["focal_host"] - f2_host) < 1e-6 * f2_host
-            and lay["w"] >= camera.width
-            and lay["h"] >= camera.height
-            and (lay["w"] - camera.width) % 2 == 0
-            and (lay["h"] - camera.height) % 2 == 0
+            and _march_eligible(lay, f2_host, camera.width, camera.height)
         )
 
     use_march = []
@@ -726,11 +766,7 @@ def render_fast_batch(
         m = (
             method in ("march", "auto")
             and lateral
-            and abs(lay["focal_host"] - f2_host) < 1e-6 * f2_host
-            and lay["w"] >= cam0.width
-            and lay["h"] >= cam0.height
-            and (lay["w"] - cam0.width) % 2 == 0
-            and (lay["h"] - cam0.height) % 2 == 0
+            and _march_eligible(lay, f2_host, cam0.width, cam0.height)
         )
         if method == "march" and not m:
             raise ValueError(
@@ -855,6 +891,15 @@ def _fast_batch_core(
                 crop_y=crop_y,
             )  # (B, H, W, 4)
         else:
+            if mask_mode == "hard":
+                raise ValueError(
+                    "mask_mode='hard' is march-only; this layer fell "
+                    "back to the sweep"
+                )
+            mk = (
+                jnp.ones_like(lay["mask"]) if mask_mode == "none"
+                else lay["mask"]
+            )
             frames = []
             common = dict(
                 out_w=out_w,
@@ -869,13 +914,13 @@ def _fast_batch_core(
             for b in range(batch):
                 if rotated:
                     frames.append(_sweep_fast.render_rotated(
-                        lay["rgb"], lay["disp"], lay["mask"],
+                        lay["rgb"], lay["disp"], mk,
                         lay["izmin"], lay["izmax"], c1_b[b], rot_b[b], f2,
                         zero_bg, **common,
                     ))
                 else:
                     frames.append(_sweep_fast.render_sweep_aligned(
-                        lay["rgb"], lay["disp"], lay["mask"],
+                        lay["rgb"], lay["disp"], mk,
                         lay["izmin"], lay["izmax"], c1_b[b], f2, zero_bg,
                         **common, exact_color=exact_color,
                     ))
@@ -962,9 +1007,20 @@ def render_stereo_fast_batch(
     prep_r = _prepared_fast(right, num_planes, plane_mode=prep_mode)
     # frustum skew: same constant-shift fold as render_fast_view (the
     # stereo-display workload IS skewed stereo). All cameras must share
-    # skew (per-eye asymmetric frusta = separate batched calls per eye).
+    # skew (per-eye asymmetric frusta = separate batched calls per eye)
+    # and intrinsics — a mismatched camera would silently render with
+    # cam0's focal/dims.
     sk2 = np.asarray(cam0.skew, np.float64)
     for cam in cameras[1:]:
+        if (
+            cam.width != cam0.width
+            or cam.height != cam0.height
+            or abs(float(cam.focal_px) - f2_host) > 1e-6
+        ):
+            raise ValueError(
+                "render_stereo_fast_batch cameras must share "
+                "width/height/focal"
+            )
         if not np.allclose(np.asarray(cam.skew), sk2):
             raise ValueError(
                 "render_stereo_fast_batch cameras must share skew; batch "
@@ -979,24 +1035,19 @@ def render_stereo_fast_batch(
     # (rayCastStereoLDI.glsl:304-305); taper-only for maskless projectors
     mask_mode = "hard" if num_layers > 1 else "none"
 
-    def _plans(prep, pos_b):
+    def _plans(prep, pos_b, sk1):
         plans, crops = [], []
         max_cx = float(np.abs(pos_b[:, 0]).max())
         for lay in prep["layers"][:num_layers]:
-            if (
-                abs(lay["focal_host"] - f2_host) > 1e-6 * f2_host
-                or lay["w"] < cam0.width
-                or lay["h"] < cam0.height
-                or (lay["w"] - cam0.width) % 2
-                or (lay["h"] - cam0.height) % 2
-            ):
+            if not _march_eligible(lay, f2_host, cam0.width, cam0.height):
                 raise ValueError(
                     "render_stereo_fast needs matched focal and dims per "
-                    "layer (or even-margin outpainted layers); use "
-                    "render_stereo_view otherwise"
+                    "layer (or even-margin outpainted layers) and an "
+                    "8-divisible width; use render_stereo_view otherwise"
                 )
             plans.append(_march_plan(
-                dict(lay, h=cam0.height), max_cx, cam0.width, cam0.height
+                dict(lay, h=cam0.height), max_cx, cam0.width, cam0.height,
+                phase_abs=lay["focal_host"] * float(sk1[0] - sk2[0]),
             ))
             crops.append((lay["h"] - cam0.height) // 2)
         return tuple(plans), tuple(crops)
@@ -1022,8 +1073,8 @@ def render_stereo_fast_batch(
     nums_l, tables_l, doffs_l = _tables(prep_l, pos_l, sk_l)
     nums_r, tables_r, doffs_r = _tables(prep_r, pos_r, sk_r)
 
-    plans_l, crops_l = _plans(prep_l, pos_l)
-    plans_r, crops_r = _plans(prep_r, pos_r)
+    plans_l, crops_l = _plans(prep_l, pos_l, sk_l)
+    plans_r, crops_r = _plans(prep_r, pos_r, sk_r)
     core = _stereo_fast_core_jit(
         plans_l=plans_l,
         plans_r=plans_r,
@@ -1039,22 +1090,23 @@ def render_stereo_fast_batch(
         skewed=skewed,
     )
 
-    def _args(prep, tables, doffs):
+    def _args(prep, tables, doffs, projector):
         return tuple(
             dict(
                 rgb=lay["rgb"], disp=lay["disp"],
-                mask=lay["mask_eroded"] if mask_mode == "hard" else lay["mask"],
+                mask=_eroded_mask(projector, i, lay["mask"])
+                if mask_mode == "hard" else lay["mask"],
                 focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
                 plane_invz=tab, doff=doff,
             )
-            for lay, tab, doff in zip(
+            for i, (lay, tab, doff) in enumerate(zip(
                 prep["layers"][:num_layers], tables, doffs
-            )
+            ))
         )
 
     return core(
-        _args(prep_l, tables_l, doffs_l),
-        _args(prep_r, tables_r, doffs_r),
+        _args(prep_l, tables_l, doffs_l, left),
+        _args(prep_r, tables_r, doffs_r, right),
         jnp.asarray(pos_l, jnp.float32),
         jnp.asarray(pos_r, jnp.float32),
         jnp.asarray(background, jnp.float32),
@@ -1112,18 +1164,19 @@ def _stereo_fast_core(
 
     def _eye(lay, c1_b, plan, k_l, crop_y):
         rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
-        if crop_y:
-            out_h = plan.out_h
-            rgb_l = rgb_l[crop_y : crop_y + out_h]
-            disp_l = disp_l[crop_y : crop_y + out_h]
-            mask_l = mask_l[crop_y : crop_y + out_h]
         offset = (0.0, 0.0)
         if skewed:
+            # before the crop: the y shift must read real outpaint texels
             d = lay["doff"]
             rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
             disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
             mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
             offset = (d[0], d[1])
+        if crop_y:
+            out_h = plan.out_h
+            rgb_l = rgb_l[crop_y : crop_y + out_h]
+            disp_l = disp_l[crop_y : crop_y + out_h]
+            mask_l = mask_l[crop_y : crop_y + out_h]
         return _sweep_march.render_translation_batch(
             rgb_l, disp_l, mask_l, lay["izmin"], lay["izmax"],
             c1_b, lay["focal"], lay["plane_invz"], zero_bg,
@@ -1206,6 +1259,18 @@ def _fast_core(
     for lay, plan, m, k_l, crop_y in zip(layers, plans, use_march, nums, crops):
         if m:
             rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+            offset = (0.0, 0.0)
+            if skewed:
+                # x rides the warp tables (snap grid phase-matched so the
+                # total shift stays integer); y is a separable constant
+                # lerp folded into the source — both march-exact. Applied
+                # BEFORE any outpaint crop so the shift reads the real
+                # margin texels, not crop-edge replicas.
+                d = lay["doff"]
+                rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
+                disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
+                mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
+                offset = (d[0], d[1])
             if crop_y:
                 # outpainted layer taller than the view: center-crop to
                 # the output rows (static slice); validity/taper stays in
@@ -1213,16 +1278,6 @@ def _fast_core(
                 rgb_l = rgb_l[crop_y : crop_y + out_h]
                 disp_l = disp_l[crop_y : crop_y + out_h]
                 mask_l = mask_l[crop_y : crop_y + out_h]
-            offset = (0.0, 0.0)
-            if skewed:
-                # x rides the warp tables (snap grid phase-matched so the
-                # total shift stays integer); y is a separable constant
-                # lerp folded into the source — both march-exact
-                d = lay["doff"]
-                rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
-                disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
-                mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
-                offset = (d[0], d[1])
             layer = _sweep_march.render_translation(
                 rgb_l, disp_l, mask_l,
                 lay["izmin"], lay["izmax"], c1, lay["focal"],
@@ -1232,6 +1287,18 @@ def _fast_core(
                 offset=offset, crop_y=crop_y,
             )
         else:
+            # the sweep kernels multiply the mask into alpha; honour
+            # mask_mode='none' by feeding a ones mask ('hard' has no
+            # sweep equivalent)
+            if mask_mode == "hard":
+                raise ValueError(
+                    "mask_mode='hard' is march-only; this layer fell "
+                    "back to the sweep"
+                )
+            mk = (
+                jnp.ones_like(lay["mask"]) if mask_mode == "none"
+                else lay["mask"]
+            )
             common = dict(
                 out_w=out_w,
                 out_h=out_h,
@@ -1244,13 +1311,13 @@ def _fast_core(
             )
             if rotated:
                 layer = _sweep_fast.render_rotated(
-                    lay["rgb"], lay["disp"], lay["mask"],
+                    lay["rgb"], lay["disp"], mk,
                     lay["izmin"], lay["izmax"], c1, rot1, f2, zero_bg,
                     **common,
                 )
             else:
                 layer = _sweep_fast.render_sweep_aligned(
-                    lay["rgb"], lay["disp"], lay["mask"],
+                    lay["rgb"], lay["disp"], mk,
                     lay["izmin"], lay["izmax"], c1, f2, zero_bg,
                     **common,
                     exact_color=exact_color,
@@ -1364,6 +1431,16 @@ def render_fused_fast_batch(
             "render_fused_fast does not support skewed cameras; use the "
             "sharded raycast fusion"
         )
+    for cam in cameras[1:]:
+        if (
+            cam.width != cam0.width
+            or cam.height != cam0.height
+            or abs(float(cam.focal_px) - f2_host) > 1e-6
+        ):
+            raise ValueError(
+                "render_fused_fast_batch cameras must share "
+                "width/height/focal"
+            )
 
     all_args, all_plans, all_nums, all_modes = [], [], [], []
     c1s = []
@@ -1397,13 +1474,12 @@ def render_fused_fast_batch(
         max_cx = float(np.abs(pos_b[:, 0]).max())
         plans, nums, args = [], [], []
         for lay in prep["layers"]:
-            if (
-                abs(lay["focal_host"] - f2_host) > 1e-6 * f2_host
-                or lay["w"] != cam0.width
-                or lay["h"] != cam0.height
+            if not _march_eligible(lay, f2_host, cam0.width, cam0.height) or (
+                lay["w"] != cam0.width or lay["h"] != cam0.height
             ):
                 raise ValueError(
-                    "render_fused_fast needs matched focal/dims per layer"
+                    "render_fused_fast needs matched focal/dims per layer "
+                    "and an 8-divisible width"
                 )
             plans.append(_march_plan(lay, max_cx, cam0.width, cam0.height))
             if snap:
