@@ -88,6 +88,17 @@ def _disp_fingerprint(disp) -> int:
     return hash(a[::stride].tobytes())
 
 
+def _texture_key(projector):
+    """Cache key + strong-reference tuple covering EVERY texture buffer a
+    prepared entry bakes in. Keying on disp alone served stale rgb/mask
+    after projector.replace(rgb=...) with the same disp buffer."""
+    refs = (projector.disp, projector.rgb, projector.mask)
+    key = tuple(
+        (id(buf), _disp_fingerprint(buf)) for buf in refs
+    )
+    return key, refs
+
+
 def _plane_table(disp_host, izmin_f, izmax_f, num_planes, mode="uniform"):
     """Inverse-depth plane table, near -> far (strictly descending).
 
@@ -134,9 +145,9 @@ def _prepared_textures(projector):
     eroded stereo mask), skew validity, baseline-normalized ranges.
     Per-frame work must not touch the host or dispatch eager device ops
     (each costs ~28 ms through the axon tunnel)."""
-    key = (id(projector.disp), _disp_fingerprint(projector.disp))
+    key, refs = _texture_key(projector)
     hit = _TEX_CACHE.get(key)
-    if hit is not None and hit[0] is projector.disp:
+    if hit is not None and all(a is b for a, b in zip(hit[0], refs)):
         _TEX_CACHE.move_to_end(key)
         return hit[1]
 
@@ -169,7 +180,7 @@ def _prepared_textures(projector):
 
     while len(_TEX_CACHE) >= _TEX_CACHE_MAX:
         _TEX_CACHE.popitem(last=False)
-    _TEX_CACHE[key] = (projector.disp, prepared)
+    _TEX_CACHE[key] = (refs, prepared)
     return prepared
 
 
@@ -182,15 +193,16 @@ def _eroded_mask(projector, idx, mask_arr):
     isMaskAround's 9 samples), computed LAZILY on first stereo use: the
     erosion is ~10 eager device ops per layer, which mono-only workloads
     must not pay (docs/TPU_NOTES.md dispatch costs)."""
-    key = (id(projector.disp), _disp_fingerprint(projector.disp), idx)
+    tkey, refs = _texture_key(projector)
+    key = (tkey, idx)
     hit = _ERODED_CACHE.get(key)
-    if hit is not None and hit[0] is projector.disp:
+    if hit is not None and all(a is b for a, b in zip(hit[0], refs)):
         _ERODED_CACHE.move_to_end(key)
         return hit[1]
     eroded = _sweep_march.erode_mask_for_stereo(mask_arr)
     while len(_ERODED_CACHE) >= _ERODED_CACHE_MAX:
         _ERODED_CACHE.popitem(last=False)
-    _ERODED_CACHE[key] = (projector.disp, eroded)
+    _ERODED_CACHE[key] = (refs, eroded)
     return eroded
 
 
@@ -199,8 +211,13 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
     The heavy texture entries are shared across table variants
     (_prepared_textures); only the small (L, K) tables are built here."""
     tex = _prepared_textures(projector)
+    # the tables depend on disp content AND the invz ranges (baseline-
+    # normalized izmin/izmax per layer), not rgb/mask — key accordingly
     key = (
         id(projector.disp), _disp_fingerprint(projector.disp),
+        np.asarray(projector.invz_min).tobytes(),
+        np.asarray(projector.invz_max).tobytes(),
+        float(np.asarray(projector.baseline)),
         num_planes, plane_mode,
     )
     hit = _TABLE_CACHE.get(key)
@@ -228,19 +245,37 @@ def _prepared_fast(projector, num_planes, plane_mode="uniform"):
     }
 
 
-def _march_eligible(lay, f2_host, out_w, out_h):
+def _march_eligible(lay, f2_host, out_w, out_h, out_w_true=None):
     """ONE definition of per-layer march eligibility (matched focal;
-    dims equal to the output or larger by an EVEN outpaint margin; an
-    8-divisible output width for the Pallas band grid) — shared by the
-    mono, batch, and stereo fast paths so the predicate cannot drift."""
+    dims equal to the output or larger by an EVEN outpaint margin) —
+    shared by the mono, batch, and stereo fast paths so the predicate
+    cannot drift. Non-8-divisible output widths are handled by the
+    callers' pad-and-slice (_width_pad): callers pass the PADDED width as
+    out_w (so the %8 gate holds) and the true target width as out_w_true;
+    the padded render carries a constant wpad/2 x-offset through the same
+    fold as frustum skew, so odd widths stay on the march instead of
+    dropping to the sweep. Geometry (lay.w coverage, x-margin parity) is
+    checked against the true width — the pad columns only read the plan's
+    edge-replicated border and are sliced off."""
+    out_w_true = out_w if out_w_true is None else out_w_true
     return (
         abs(lay["focal_host"] - f2_host) < 1e-6 * f2_host
         and out_w % 8 == 0
-        and lay["w"] >= out_w
+        and lay["w"] >= out_w_true
         and lay["h"] >= out_h
-        and (lay["w"] - out_w) % 2 == 0
+        and (lay["w"] - out_w_true) % 2 == 0
         and (lay["h"] - out_h) % 2 == 0
     )
+
+
+def _width_pad(out_w: int) -> int:
+    """Extra output columns so the Pallas band grid divides the width.
+    The padded render equals the wide-camera render shifted by wpad/2 px
+    (bx drops by wpad/2; the constant dx offset restores it), so slicing
+    the first out_w columns reproduces the unpadded render exactly —
+    including snap-grid exactness, since bx_eff + wpad/2 == bx and the
+    snap phase condition depends only on their sum mod 1."""
+    return (-out_w) % 8
 
 
 def _march_plan(lay, max_cx, out_w, out_h, phase_abs=0.0):
@@ -284,8 +319,9 @@ def _transposed_projector(projector: Projector) -> Projector:
     frame. Unlike the texture cache, the transposed copy bakes in POSE
     and intrinsics, so the key covers every small field — a projector
     moved via .replace(position=...) (same disp buffer) must miss."""
+    tkey, refs = _texture_key(projector)
     key = (
-        id(projector.disp), _disp_fingerprint(projector.disp),
+        tkey,
         np.asarray(projector.position).tobytes(),
         np.asarray(projector.rotation).tobytes(),
         np.asarray(projector.skew).tobytes(),
@@ -295,7 +331,7 @@ def _transposed_projector(projector: Projector) -> Projector:
         float(np.asarray(projector.baseline)),
     )
     hit = _TRANSPOSED_CACHE.get(key)
-    if hit is not None and hit[0] is projector.disp:
+    if hit is not None and all(a is b for a, b in zip(hit[0], refs)):
         _TRANSPOSED_CACHE.move_to_end(key)
         return hit[1]
     t = Projector(
@@ -316,7 +352,7 @@ def _transposed_projector(projector: Projector) -> Projector:
     )
     while len(_TRANSPOSED_CACHE) >= _TRANSPOSED_CACHE_MAX:
         _TRANSPOSED_CACHE.popitem(last=False)
-    _TRANSPOSED_CACHE[key] = (projector.disp, t)
+    _TRANSPOSED_CACHE[key] = (refs, t)
     return t
 
 
@@ -574,17 +610,35 @@ def render_fast_view(
 
     f2_host = float(camera.focal_px)
 
+    # non-8-divisible widths: march a wpad-wider band carrying a constant
+    # wpad/2 x-offset (the skew-fold mechanism) and slice the true width
+    # off the result. Only when EVERY layer marches — the sweep fallback
+    # renders around a different image center, so mixed layers would
+    # misalign by wpad/2 px.
+    wpad = _width_pad(camera.width)
+    out_w_eff = camera.width + wpad
+    dx_pad = wpad / 2.0
+
     def _lateral_ok(lay):
         """The Pallas march handles the lateral reduction: translation
         along +x plus the shared per-layer predicate (_march_eligible:
-        matched focal, even-margin outpainted dims, 8-divisible output
+        matched focal, even-margin outpainted dims, 8-divisible padded
         width so _pick_tw cannot fail inside the jitted core)."""
         return (
             not rotated
             and abs(pos_np[1]) < 1e-9
             and abs(pos_np[2]) < 1e-9
-            and _march_eligible(lay, f2_host, camera.width, camera.height)
+            and _march_eligible(lay, f2_host, out_w_eff, camera.height,
+                                out_w_true=camera.width)
         )
+
+    if wpad and not all(
+        method in ("march", "auto") and _lateral_ok(lay)
+        for lay in prepared["layers"]
+    ):
+        wpad = 0
+        out_w_eff = camera.width
+        dx_pad = 0.0
 
     use_march = []
     plans = []
@@ -603,8 +657,9 @@ def render_fast_view(
             # Pallas y-chunk grid maps src and out rows 1:1)
             plans.append(_march_plan(
                 dict(lay, h=camera.height),
-                abs(float(pos_np[0])), camera.width, camera.height,
-                phase_abs=lay["focal_host"] * float(sk1[0] - sk2[0]),
+                abs(float(pos_np[0])), out_w_eff, camera.height,
+                phase_abs=lay["focal_host"] * float(sk1[0] - sk2[0])
+                + dx_pad,
             ))
             crops.append(crop_y)
         else:
@@ -644,7 +699,10 @@ def render_fast_view(
             fb = _prepared_fast(projector, k_fb, plane_mode="hybrid")
             tables.append(fb["layers"][idx]["plane_invz"])
             nums.append(k_fb)
-        doffs.append(jnp.asarray(d, jnp.float32))
+        # the width-pad's constant wpad/2 shift rides the same offset as
+        # the skew fold (NOT the snap phase: bx_eff + dx_pad == bx, so
+        # the phase condition is unchanged)
+        doffs.append(jnp.asarray([d[0] + dx_pad, d[1]], jnp.float32))
 
     core = _fast_core_jit(
         plans=tuple(plans),
@@ -657,9 +715,10 @@ def render_fast_view(
         mask_mode=mask_mode,
         exact_color=exact_color,
         to_srgb=to_srgb,
-        out_w=camera.width,
+        out_w=out_w_eff,
         out_h=camera.height,
         skewed=skewed,
+        padded=wpad > 0,
         crops=tuple(crops),
     )
     layer_args = tuple(
@@ -670,10 +729,11 @@ def render_fast_view(
         )
         for lay, tab, doff in zip(prepared["layers"], tables, doffs)
     )
-    return core(
+    out = core(
         layer_args, c1, rot1, jnp.float32(f2_host),
         jnp.asarray(background, jnp.float32),
     )
+    return out[:, : camera.width, :] if wpad else out
 
 
 def render_fast_batch(
@@ -692,8 +752,9 @@ def render_fast_batch(
 ):
     """Render MANY novel views in ONE device dispatch. Returns (B, H, W, 4).
 
-    The per-dispatch latency through the host->TPU tunnel (~9 ms measured,
-    docs/TPU_NOTES.md) dominates single-frame rendering; production
+    The per-dispatch wall overhead through the host->TPU relay (~50 ms,
+    non-pipelining; docs/TPU_NOTES.md) dominates single-frame rendering;
+    production
     trajectory/stereo workloads are batch-shaped, so this is the production
     entry point. When every pose is LATERAL (no relative rotation,
     translation along x only) the whole batch is a single Pallas launch in
@@ -758,16 +819,32 @@ def render_fast_batch(
         raise ValueError("render_fast_batch does not support skewed frustums")
     f2_host = float(cam0.focal_px)
 
+    # non-8-divisible widths: march a wpad-wider band with a constant
+    # wpad/2 x-offset, slice the true width (see render_fast_view). Only
+    # when every layer marches — sweep layers would misalign.
+    wpad = _width_pad(cam0.width)
+    out_w_eff = cam0.width + wpad
+    dx_pad = wpad / 2.0
+    max_cx = float(np.abs(pos_b[:, 0]).max())
+
+    def _ok(lay):
+        return (
+            method in ("march", "auto")
+            and lateral
+            and _march_eligible(lay, f2_host, out_w_eff, cam0.height,
+                                out_w_true=cam0.width)
+        )
+
+    if wpad and not all(_ok(lay) for lay in prepared["layers"]):
+        wpad = 0
+        out_w_eff = cam0.width
+        dx_pad = 0.0
+
     use_march = []
     plans = []
     crops = []
-    max_cx = float(np.abs(pos_b[:, 0]).max())
     for lay in prepared["layers"]:
-        m = (
-            method in ("march", "auto")
-            and lateral
-            and _march_eligible(lay, f2_host, cam0.width, cam0.height)
-        )
+        m = _ok(lay)
         if method == "march" and not m:
             raise ValueError(
                 "method='march' needs lateral poses (no rotation/skew, "
@@ -776,7 +853,8 @@ def render_fast_batch(
             )
         if m:
             plans.append(_march_plan(
-                dict(lay, h=cam0.height), max_cx, cam0.width, cam0.height
+                dict(lay, h=cam0.height), max_cx, out_w_eff, cam0.height,
+                phase_abs=dx_pad,
             ))
             crops.append((lay["h"] - cam0.height) // 2)
         else:
@@ -819,8 +897,9 @@ def render_fast_batch(
         mask_mode=mask_mode,
         exact_color=exact_color,
         to_srgb=to_srgb,
-        out_w=cam0.width,
+        out_w=out_w_eff,
         out_h=cam0.height,
+        pad_dx=dx_pad,
         crops=tuple(crops),
     )
     layer_args = tuple(
@@ -831,13 +910,14 @@ def render_fast_batch(
         )
         for lay, tab in zip(prepared["layers"], tables)
     )
-    return core(
+    out = core(
         layer_args,
         jnp.asarray(pos_b, jnp.float32),
         jnp.asarray(rot_b, jnp.float32),
         jnp.float32(f2_host),
         jnp.asarray(background, jnp.float32),
     )
+    return out[:, :, : cam0.width, :] if wpad else out
 
 
 _FAST_BATCH_CORE_CACHE: dict = {}
@@ -867,6 +947,7 @@ def _fast_batch_core(
     to_srgb,
     out_w,
     out_h,
+    pad_dx=0.0,
     crops=None,
 ):
     """Traced body of render_fast_batch: per-layer batched kernels +
@@ -888,7 +969,7 @@ def _fast_batch_core(
                 lay["plane_invz"], zero_bg,
                 plan=plan, num_planes=k_l, refine=refine,
                 feathering=feathering, mask_mode=mask_mode, to_srgb=False,
-                crop_y=crop_y,
+                offset=(pad_dx, 0.0), crop_y=crop_y,
             )  # (B, H, W, 4)
         else:
             if mask_mode == "hard":
@@ -1248,6 +1329,7 @@ def _fast_core(
     out_w,
     out_h,
     skewed=False,
+    padded=False,
     crops=None,
 ):
     """The traced body of render_fast_view: per-layer fast kernels +
@@ -1260,6 +1342,11 @@ def _fast_core(
         if m:
             rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
             offset = (0.0, 0.0)
+            if padded and not skewed:
+                # width-pad only: the constant wpad/2 x-offset, no source
+                # preshift (doff[1] is 0 and a no-op y-lerp still costs a
+                # gather pass on TPU)
+                offset = (lay["doff"][0], 0.0)
             if skewed:
                 # x rides the warp tables (snap grid phase-matched so the
                 # total shift stays integer); y is a separable constant
@@ -1464,7 +1551,8 @@ def render_fused_fast_batch(
             pos_list.append(pos_np)
         pos_b = np.stack(pos_list)
         prep = _prepared_fast(
-            proj, base_planes, plane_mode="uniform" if snap else "hybrid"
+            proj, base_planes,
+            plane_mode="uniform" if snap else cfg.plane_mode,
         )
         if not prep["skew_ok"]:
             raise ValueError("render_fused_fast: skewed projector")

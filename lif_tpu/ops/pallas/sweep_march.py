@@ -53,9 +53,9 @@ every plane's shift via the static margin) into VMEM once — the pose axis
 iterates innermost over the SAME resident window (TPU grids run
 sequentially and scratch persists), so a whole batch of novel views costs
 one source read plus one output write per view. Batching poses into one
-launch is also what amortizes the host->device dispatch latency (~9 ms
-through the axon tunnel, docs/TPU_NOTES.md) that would otherwise dominate
-at these frame times.
+launch is also what amortizes the per-dispatch wall overhead (~50 ms
+through the axon relay, which does not pipeline; docs/TPU_NOTES.md) that
+would otherwise dominate at these frame times.
 """
 
 from __future__ import annotations
@@ -417,8 +417,13 @@ def render_translation_batch_pallas(
     tw = _pick_tw(plan.out_w)
     bw = _round_up(plan.tab_span_x + tw + 16, 64)
     # the last out band starts at out_w - tw; its window must fit in the
-    # padded source
+    # padded source. The padded width is then rounded up to a multiple of
+    # _COARSE so the skip-table reshape (wp // _COARSE cells) is exact for
+    # ANY source width — an outpainted layer whose margin already covers
+    # the shift range can otherwise reach here with pad_hi_x == 0 and a
+    # non-8-divisible wp.
     pad_hi_x = max(0, (plan.out_w - tw) + bw - w - plan.pad_lo_x)
+    pad_hi_x += -(w + plan.pad_lo_x + pad_hi_x) % _COARSE
     hp = _round_up(h, 128)
     rgbm = jnp.concatenate(
         [rgb.astype(jnp.float32), mask.astype(jnp.float32)[..., None]], axis=-1
