@@ -4,19 +4,23 @@ Writes BENCH_DETAILS.json. The driver-facing single metric stays in
 bench.py; this script is the complete evidence table:
 
   0. SFMoMA single projector, one fixed novel view (snap-plane march)
-  1. 120-frame orbit trajectory (rotation -> batched rotated fast path)
-  2. stereo pairs through the REAL two-view blend kernel
-     (render_stereo_fast_batch: view weight + occlusion fill + blend)
+  1. 120-frame orbit trajectory (two-phase rotated march)
+  2. stereo pairs through the REAL two-view blend kernel on a COHERENT
+     pair (the right eye is synthesized from the left with the renderer
+     — duplicated imagery at two poses would describe two different
+     scenes; examples/multiview_demo.build_stereo_lif)
   3. 3-layer LDI with occlusion-aware alpha compositing
   4. 4-projector fused compositing at 3840x2160 (single-chip
-     render_fused_fast; the cross-chip sharded path with the identical
-     merge spec is validated on the virtual CPU mesh in
-     tests/test_fusion.py)
+     render_fused_fast) + a device-scaling sweep of the sharded tile
+     path on the virtual CPU mesh (one physical chip here; the sweep
+     demonstrates the sharding axis, not chip hardware)
 
-Quality is reported as PSNR of the benched mode against the CONVERGED
-ray-march renderer (640 steps) on the same pose; the reference's own
-production 40-step march is measured against the same target for
-context. All inputs device-resident; one D2H sync per timed batch.
+EVERY config reports `psnr_vs_converged_dB`: PSNR of the exact benched
+mode against the converged ray-march renderer (640 steps, the reference
+shader's math) on the flagship scene at a config-representative pose —
+below-gate numbers stay in the table (round-2 VERDICT item 2). All
+throughputs are medians over >=3 timed passes (item 9). All inputs
+device-resident; one D2H sync per timed pass.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ import time
 import numpy as np
 
 W, H = 1280, 800
+REPS = 5
 
 
 def _sync(x):
@@ -41,7 +46,18 @@ def _psnr(a, b):
     return 10 * np.log10(1.0 / max(float(mse), 1e-12))
 
 
+def _median_rate(fn, n_items, reps=REPS):
+    """Median items/sec over `reps` timed passes of fn() (fn must sync)."""
+    rates = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        rates.append(n_items / (time.time() - t0))
+    return float(np.median(rates))
+
+
 def main():
+    import jax
     import jax.numpy as jnp
 
     from lif_tpu import Camera, load_lif_file, render, orbit_pose
@@ -50,11 +66,10 @@ def main():
         render_fast_view,
         render_fused_fast_batch,
         render_stereo_fast_batch,
+        render_stereo_view,
     )
     from lif_tpu.models.projector import resample_projector
 
-    # --- build the SFMoMA LIF in memory (single source of the scene
-    # constants: examples/render_sfmoma.py) ---
     from examples.render_sfmoma import build_sfmoma_lif
 
     result = load_lif_file(build_sfmoma_lif())
@@ -65,17 +80,18 @@ def main():
     def cam_at(pos, rot=None):
         return Camera.create(W, H, focal_px=focal, position=pos, rotation=rot)
 
+    def converged(cam, **kw):
+        return render(proj, cam, mode="raycast", mask_mode="none",
+                      num_steps=640, **kw)
+
     # ---- config 0: fixed novel view, snap-plane march ----
     fixed_pos = np.array([0.135, 0.0, 0.0])
     img_snap = render_fast_view(proj, cam_at(fixed_pos), method="march")
-    conv = render(proj, cam_at(fixed_pos), mode="raycast", mask_mode="none",
-                  num_steps=640)
+    conv = converged(cam_at(fixed_pos))
     ref40 = render(proj, cam_at(fixed_pos), mode="raycast", mask_mode="none",
                    num_steps=40)
     q_snap = float(_psnr(img_snap, conv))
     q_ref40 = float(_psnr(ref40, conv))
-
-    import jax
 
     @jax.jit
     def _reduce(img):
@@ -83,88 +99,108 @@ def main():
 
     poses0 = [fixed_pos + [0.001 * i, 0, 0] for i in range(20)]
     _ = _sync(render_fast_view(proj, cam_at(poses0[0]), method="march"))
-    fps_seq = 0.0
-    for _rep in range(3):
-        t0 = time.time()
+
+    def seq_pass():
         outs = [jnp.sum(render_fast_view(proj, cam_at(p), method="march"))
                 for p in poses0]
         _sync(jnp.stack(outs))
-        fps_seq = max(fps_seq, len(poses0) / (time.time() - t0))
-    # batched streaming: in-jit reduction, one sync for all batches
-    # (an eager reduction adds a ~30-50 ms dispatch round trip per batch;
-    # see docs/TPU_NOTES.md)
+
+    seq_pass()
+    fps_seq = _median_rate(seq_pass, len(poses0), reps=3)
     cams0b = [cam_at(fixed_pos + [0.0005 * i, 0, 0]) for i in range(40)]
     _ = float(_reduce(render_fast_batch(proj, cams0b)))
-    fps_batch = 0.0
-    for _rep in range(3):
-        t0 = time.time()
+
+    def batch_pass():
         acc = [_reduce(render_fast_batch(proj, cams0b)) for _ in range(4)]
         _ = float(jnp.sum(jnp.stack(acc)))
-        fps_batch = max(fps_batch, 4 * len(cams0b) / (time.time() - t0))
+
+    fps_batch = _median_rate(batch_pass, 4 * len(cams0b))
     t0 = time.time()
     _sync(render(proj, cam_at(poses0[0]), mode="raycast", mask_mode="none"))
     fps_march40 = 1.0 / (time.time() - t0)
     results["config0_fixed_novel_view"] = {
         "snap_march_fps_sequential": round(fps_seq, 1),
         "snap_march_fps_batch40_streaming": round(fps_batch, 1),
-        "snap_march_psnr_vs_converged_dB": round(q_snap, 2),
+        "psnr_vs_converged_dB": round(q_snap, 2),
         "reference40_psnr_vs_converged_dB": round(q_ref40, 2),
         "reference40_march_fps": round(fps_march40, 2),
+        "statistic": "median of 5 passes",
     }
     print("config0:", results["config0_fixed_novel_view"], flush=True)
 
-    # ---- config 1: 120-frame orbit, batched rotated fast path ----
+    # ---- config 1: 120-frame orbit, two-phase rotated march ----
     orbit_poses = [
         orbit_pose(result.orbit_center, 1.0, theta=np.deg2rad(t))
         for t in np.linspace(-15, 15, 120)
     ]
     cams = [cam_at(p, r) for p, r in orbit_poses]
     chunk = 24
+
     def orbit_pass():
         acc = []
         for lo in range(0, len(cams), chunk):
             out = render_fast_batch(proj, cams[lo : lo + chunk])
             acc.append(jnp.sum(out))
         _sync(jnp.stack(acc))
+
     orbit_pass()  # compile all chunks
-    t0 = time.time()
-    orbit_pass()
-    dt = (time.time() - t0) / len(cams)
+    fps_orbit = _median_rate(orbit_pass, len(cams), reps=3)
+    # fidelity at three representative orbit poses (edge, mid, center)
+    qs = []
+    for idx in (0, 30, 60):
+        img = render_fast_batch(proj, cams[idx : idx + 1])[0]
+        qs.append(_psnr(img, converged(cams[idx])))
     results["config1_orbit_120"] = {
         "frames": 120,
-        "batched_rotated_fps": round(1.0 / dt, 1),
-        "ms_per_frame": round(dt * 1000, 1),
+        "batched_fps": round(fps_orbit, 1),
+        "ms_per_frame": round(1000.0 / fps_orbit, 1),
         "chunk": chunk,
+        "psnr_vs_converged_dB": round(float(np.min(qs)), 2),
+        "psnr_per_pose_dB": [round(float(q), 2) for q in qs],
+        "path": "two-phase rotated march (Pallas scaled depth solve + "
+                "edge-aware homography fetch + exact color fetch)",
+        "statistic": "median of 3 passes",
     }
     print("config1:", results["config1_orbit_120"], flush=True)
 
-    # ---- config 2: stereo pairs via the real two-view blend kernel ----
-    eye = 0.0225  # half the 45 mm baseline
-    left = result.projectors[0].replace(
-        position=np.asarray([-eye, 0.0, 0.0], np.float32)
-    ).to_device()
-    right = result.projectors[0].replace(
-        position=np.asarray([eye, 0.0, 0.0], np.float32)
-    ).to_device()
+    # ---- config 2: COHERENT stereo pair (synthesized right eye) ----
+    import sys as _sys
+
+    _sys.path.insert(0, "examples")
+    from multiview_demo import build_stereo_lif
+
+    stereo = load_lif_file(build_stereo_lif())
+    left = stereo.projectors[0].to_device()
+    right = stereo.projectors[1].to_device()
     n_pairs = 8
     stereo_cams = []
+    eye = float(left.baseline) / 2.0
     for i in range(n_pairs):
         dx = 0.004 * i
         stereo_cams.append(cam_at([-eye + dx, 0, 0]))
         stereo_cams.append(cam_at([eye + dx, 0, 0]))
     _ = _sync(render_stereo_fast_batch(left, right, stereo_cams))
-    best = 0.0
-    for _rep in range(3):
-        t0 = time.time()
+
+    def stereo_pass():
         _sync(render_stereo_fast_batch(left, right, stereo_cams))
-        best = max(best, n_pairs / (time.time() - t0))
+
+    pairs_rate = _median_rate(stereo_pass, n_pairs)
+    # pair quality: the fast blend vs the exact two-view kernel at a
+    # mid-baseline pose (the stereo shader's own math at 640 steps)
+    q_cam = cam_at([0.004, 0.0, 0.0])
+    fast_pair = render_stereo_fast_batch(left, right, [q_cam])[0]
+    exact_pair = render_stereo_view(left, right, q_cam, num_steps=640)
+    q_stereo = _psnr(fast_pair, exact_pair)
     results["config2_stereo_pair"] = {
-        "stereo_pairs_per_sec": round(best, 1),
-        "ms_per_pair": round(1000.0 / best, 1),
-        "kernel": (
-            "two-view blend (view weight + occlusion fill, "
-            "rayCastStereoLDI semantics) on the batched snap-plane march"
-        ),
+        "stereo_pairs_per_sec": round(pairs_rate, 1),
+        "ms_per_pair": round(1000.0 / pairs_rate, 1),
+        "psnr_vs_exact_stereo_dB": round(float(q_stereo), 2),
+        "pair": "coherent: right eye SYNTHESIZED from the left view "
+                "(multiview_demo.build_stereo_lif); round-2 VERDICT "
+                "item 5 replaced the duplicated-imagery pair",
+        "kernel": "two-view blend (view weight + occlusion fill, "
+                  "rayCastStereoLDI semantics) on the batched march",
+        "statistic": "median of 5 passes",
     }
     print("config2:", results["config2_stereo_pair"], flush=True)
 
@@ -187,15 +223,20 @@ def main():
     ).to_device()
     cams3 = [cam_at(p) for p in poses0]
     _ = _sync(render_fast_batch(proj3, cams3))
-    best = 0.0
-    for _rep in range(3):
-        t0 = time.time()
+
+    def ldi_pass():
         _sync(render_fast_batch(proj3, cams3))
-        best = max(best, len(cams3) / (time.time() - t0))
+
+    ldi_rate = _median_rate(ldi_pass, len(cams3))
+    ldi_fast = render_fast_batch(proj3, cams3[:1])[0]
+    ldi_conv = render(proj3, cams3[0], mode="raycast", num_steps=640)
+    q_ldi = _psnr(ldi_fast, ldi_conv)
     results["config3_ldi_3layer"] = {
         "layers": 3,
-        "fast_fps_batch20": round(best, 1),
-        "ms_per_frame": round(1000.0 / best, 1),
+        "fast_fps_batch20": round(ldi_rate, 1),
+        "ms_per_frame": round(1000.0 / ldi_rate, 1),
+        "psnr_vs_converged_dB": round(float(q_ldi), 2),
+        "statistic": "median of 5 passes",
     }
     print("config3:", results["config3_ldi_3layer"], flush=True)
 
@@ -216,24 +257,59 @@ def main():
         for j in range(n)
     ]
     _ = _sync(render_fused_fast_batch(projs4, cams4))
-    best = 0.0
-    for _rep in range(2):
-        t0 = time.time()
+
+    def fused_pass():
         _sync(render_fused_fast_batch(projs4, cams4))
-        best = max(best, n / (time.time() - t0))
+
+    fused_rate = _median_rate(fused_pass, n, reps=3)
+    # fusion fidelity at the flagship resolution: the fast fused
+    # compositor vs the same merge spec on the CONVERGED (640-step)
+    # raycast kernel, computed by the CPU-mesh subprocess below (the
+    # sharded oracle needs a 4-device view mesh; this rig has one TPU).
+    # The merge math is resolution-independent, so 1280x800 fidelity
+    # stands in for the 4K throughput config.
+    projs1k = [
+        result.projectors[0]
+        .replace(position=np.asarray([0.02 * i, 0.0, 0.0], np.float32))
+        .to_device()
+        for i in range(4)
+    ]
+    cam1k = cam_at([0.05, 0.0, 0.0])
+    fast_fused = np.asarray(render_fused_fast_batch(projs1k, [cam1k])[0])
+    np.save("/tmp/fastfused.npy", fast_fused)
     results["config4_multi_projector_4k"] = {
         "projectors": 4,
         "resolution": f"{W4}x{H4}",
-        "fused_frames_per_sec_single_chip": round(best, 2),
-        "note": (
-            "render_fused_fast: full-LDI per-projector march + nearest-"
-            "surface merge at 4K on one chip; the cross-chip shard_map "
-            "fusion (pmax/psum over the view axis) implements the same "
-            "merge spec and is validated on the virtual 8-device mesh "
-            "(tests/test_fusion.py) — only one physical chip is here"
-        ),
+        "fused_frames_per_sec_single_chip": round(fused_rate, 2),
+        "psnr_note": "psnr_vs_converged_dB appears under "
+                     "sharded_4k_scaling_cpu_mesh (computed there: the "
+                     "640-step sharded oracle needs a 4-device mesh)",
+        "statistic": "median of 3 passes",
     }
     print("config4:", results["config4_multi_projector_4k"], flush=True)
+
+    # ---- 4K sharded-fusion scaling sweep on the virtual CPU mesh ----
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        p = subprocess.run(
+            [sys.executable, "bench_scaling.py"], env=env,
+            capture_output=True, text=True, timeout=3600,
+        )
+        results["sharded_4k_scaling_cpu_mesh"] = json.loads(
+            p.stdout.strip().splitlines()[-1]
+        )
+    except Exception as e:  # keep the main table even if the sweep fails
+        results["sharded_4k_scaling_cpu_mesh"] = {"error": str(e)[:300]}
+    print("scaling:", results["sharded_4k_scaling_cpu_mesh"], flush=True)
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=2)

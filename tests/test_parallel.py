@@ -120,3 +120,39 @@ def test_fast_trajectory_sharded(rng):
     ]
     ref = np.asarray(render_fast_batch(proj, cams, mask_mode="none"))
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_fast_trajectory_sharded_ldi(rng):
+    """Multi-layer LDI trajectories shard on the fast path (round-2
+    VERDICT item 6 lifted the single-layer restriction): the shard body
+    composites all layers front-to-back and equals the unsharded
+    render_fast_batch frame-for-frame on the virtual mesh."""
+    from lif_tpu.models.renderer import render_fast_batch
+
+    h, w = 32, 48
+    extra = [dict(
+        rgb=rng.random((h, w, 3)).astype(np.float32),
+        disp=smooth_noise(rng, h, w).astype(np.float32),
+        mask=(smooth_noise(rng, h, w) > 0.4).astype(np.float32),
+        focal_px=0.78 * w, invz_min=1.0, invz_max=0.1,
+    )]
+    proj = projector_from_arrays(
+        rng.random((h, w, 3)).astype(np.float32),
+        smooth_noise(rng, h, w).astype(np.float32),
+        focal_px=0.78 * w, invz_min=2.0, invz_max=0.2, baseline=1.0,
+        extra_layers=extra,
+    )
+    cam = Camera.create(w, h, focal_px=0.78 * w)
+    f = 8
+    positions = np.stack([[0.006 * (i + 1), 0.0, 0.0] for i in range(f)])
+    mesh = sharding.make_mesh(("frame",))
+    out = np.asarray(
+        sharding.render_fast_trajectory_sharded(proj, positions, cam, mesh)
+    )
+    assert out.shape == (f, h, w, 4)
+    cams = [
+        Camera.create(w, h, focal_px=0.78 * w, position=p)
+        for p in positions
+    ]
+    ref = np.asarray(render_fast_batch(proj, cams))
+    np.testing.assert_allclose(out, ref, atol=2e-4)

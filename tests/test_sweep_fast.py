@@ -65,7 +65,9 @@ def test_render_fast_view_api(rng):
     img_fast = np.asarray(render(proj, cam, mode="fast"))
     img_march = np.asarray(render(proj, cam, mode="raycast"))
     assert img_fast.shape == (h, w, 4)
-    assert ref.psnr(img_march, img_fast) > 35.0  # f32 march vs sweep
+    # bound: the oracle is the production 40-STEP march (reference
+    # default), whose own discretization error dominates at this scale
+    assert ref.psnr(img_march, img_fast) > 35.0
 
     # rotated camera goes through the two-phase rotated path
     from lif_tpu.core.pose import orbit_pose
@@ -74,6 +76,7 @@ def test_render_fast_view_api(rng):
     cam_rot = Camera.create(w, h, focal_px=0.78 * w, position=pos, rotation=rot)
     img_rot = np.asarray(render_fast_view(proj, cam_rot))
     img_rot_march = np.asarray(render(proj, cam_rot, mode="raycast"))
+    # bound: same 40-step oracle discretization (rotated pose)
     assert ref.psnr(img_rot_march, img_rot) > 35.0
 
 
