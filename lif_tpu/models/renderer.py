@@ -1075,7 +1075,7 @@ def _fast_batch_core(
             )  # (B, H, W, 4)
         elif m == "scaled":
             splan, sk, fr = setup
-            layer = _sweep_scaled.render_scaled_batch(
+            layer = _sweep_scaled.render_scaled_fetch_batch(
                 lay["rgb"], lay["disp"], lay["mask"],
                 lay["izmin"], lay["izmax"], c1_b, lay["focal"],
                 jnp.float32(fr), lay["grids"], zero_bg,
@@ -1463,7 +1463,7 @@ def _stereo_fast_core(
     def _eye(lay, c1_b, rot_b, plan, k_l, crop_y, mode, setup):
         if mode == "scaled":
             splan, sk, fr = setup
-            return _sweep_scaled.render_scaled_batch(
+            return _sweep_scaled.render_scaled_fetch_batch(
                 lay["rgb"], lay["disp"], lay["mask"],
                 lay["izmin"], lay["izmax"], c1_b, lay["focal"],
                 jnp.float32(fr), lay["grids"], zero_bg, splan, sk,

@@ -5,17 +5,15 @@ src/shaders/rayCastMonoLDI.glsl:219-297's march for any aligned pose —
 s1 is affine in invZ, rayCastMonoLDI.glsl:249). Each plane's warp is
 separable-affine per axis: dx(j) = tx + ex*(j - cx0), dy(i) = ty +
 ey*(i - cy0) — translation AND uniform scale (z-dolly, focal ratio) in
-one family. The warp is gather-free:
-
-  * integer base: a dynamic `pltpu.roll` of the VMEM-resident window
-    slab (dynamic shifts are supported on both sublane and lane axes on
-    this hardware — probed, scratch/probe_roll.py);
-  * the per-row/column remainder: a static candidate-offset sum — at
-    most `mx`/`my` shifted copies blended with per-sublane / per-lane
-    hat weights. Two adjacent candidates reproduce the bilinear lerp
-    exactly; the extra candidates cover the scale's spread across a
-    tile (plan-bounded, pl.when-guarded so translation-dominated planes
-    pay only the two).
+one family. The warp is gather-free AND roll-free (dynamic
+`tpu.dynamic_rotate` silently miscompiles on non-power-of-two tile
+counts on this toolchain — probed, scratch/probe_roll3.py): per axis,
+an 8-aligned dynamic ref slice + an 8-way residual switch (the lateral
+kernel's proven mechanism) + a candidate-offset hat-weight sum whose
+unrolled length a class switch matches to the plane's actual scale
+spread; the y axis rides the same sublane mechanism through an
+in-kernel transpose. Two adjacent candidates reproduce the bilinear
+lerp exactly; extra candidates cover the scale spread across a tile.
 
 Work-avoidance mirrors the lateral kernel (ops/pallas/sweep_march.py):
 texel-space pass 1 (disparity only, secant ratio invariant to the
@@ -64,8 +62,7 @@ def _kernel(
     src_hbm,  # (C, Wp, Hp) f32 ANY — C=5 (full) or 1 (depth_only: disp)
     out_ref,  # (1, OC, tw, lc) VMEM out block
     blk,  # (C, bw, ylen) f32 VMEM scratch: the source window
-    ya_acc,  # (twx, lc) f32 scratch: y-collapse accumulator
-    xa_acc,  # (4, tw, lc) f32 scratch: x-collapse accumulator
+    tsp,  # (ylen, tw) f32 VMEM scratch: transposed x-collapsed slab
     pdiff,  # (tw, lc) f32 scratch: secant bracket state (texel units)
     kstar,  # (tw, lc) f32 scratch: crossing plane index (-1 = none)
     pdiffc,  # (tw, lc) f32 scratch
@@ -126,66 +123,125 @@ def _kernel(
     def _clipx(v):
         return jnp.clip(v, 0.0, spanx)
 
+    # candidate-count classes: a lax.switch picks the smallest unrolled
+    # body covering the plane's spread — branch cost like the lateral
+    # kernel's 8-way switch, vector cost proportional to the actual
+    # spread, and the accumulation stays in registers (no scratch RMW)
+    def _classes(nmax):
+        ns, n = [], 2
+        while n < nmax:
+            ns.append(n)
+            n *= 2
+        ns.append(nmax)
+        return ns
+
+    ycls = _classes(my)
+    xcls = _classes(mx + 2)
+    # y-stage slab: 256 sublanes = 32 tiles (power of two, roll-safe);
+    # covers any (lc + my)-row range after the 8-aligned clamped base
+    lcwin = 2 * _LC
+    iyT = jax.lax.broadcasted_iota(jnp.int32, (lc, 1), 0).astype(jnp.float32)
+
     def _warp_of(chans, tx, ex, ty, ey):
-        """Separable-affine bilinear warp of window channels [lo, hi):
-        8-aligned dynamic x slice + dynamic lane roll to the per-plane
-        base, then candidate-offset sums with hat weights. Returns the
-        (hi-lo, tw, lc) warped value (read back from xa_acc). All scalar
-        args are SMEM-derived traced scalars; the pl.when guards skip
-        candidates the plane's spread cannot reach."""
+        """Separable-affine bilinear warp of window channels [lo, hi).
+
+        Pipeline (every primitive probed on this toolchain —
+        scratch/probe_roll3.py, probe_roll4.py; `tpu.dynamic_rotate` is
+        only safe on POWER-OF-TWO tile counts, which the slab shapes
+        guarantee):
+
+          1. x-collapse in the (x-sublane, y-lane) layout: 8-aligned
+             dynamic ref slice, a dynamic sublane roll for the residual,
+             then a candidate-count class switch whose unrolled hat-
+             weight sum tracks the plane's actual scale spread. Two
+             adjacent candidates ARE the bilinear lerp.
+          2. transpose the x-collapsed slab (in-kernel vector
+             transpose), park it in scratch so the y base can be a
+             dynamic 8-aligned REF slice.
+          3. y-collapse with y on sublanes: the same roll + class
+             switch mechanism.
+          4. transpose back to (tw, lc).
+
+        Returns the (hi-lo, tw, lc) warped value.
+        """
         lo, hi = chans
         # scalar x base (displacement is monotone in j: extremes at ends)
         dxa = _clipx(tx + ex * x0f + plx)
         dxb = _clipx(tx + ex * (x0f + tw - 1) + plx)
-        bmin = jnp.minimum(dxa, dxb)
-        o8 = pl.multiple_of(
-            (jnp.floor(bmin).astype(jnp.int32) // 8) * 8, 8
-        )
-        o8f = o8.astype(jnp.float32)
-        rr = jnp.floor(bmin) - o8f  # in [0, 8)
-        span_x = jnp.maximum(dxa, dxb) - bmin
-        # scalar y base (window-relative; kylo folds the chunk margin)
+        bmin = jnp.floor(jnp.minimum(dxa, dxb)).astype(jnp.int32)
+        o8 = pl.multiple_of((bmin // 8) * 8, 8)
+        rr = bmin - o8  # sublane residual in [0, 8)
+        span_x = jnp.maximum(dxa, dxb) - jnp.minimum(dxa, dxb)
+        # scalar y base (window-relative; kylo folds the chunk margin).
+        # The y-stage slab base is clamped into the resident extent; the
+        # plan's ky_hi headroom keeps every read below lcwin after the
+        # residual roll.
         dya = jnp.clip(ty + ey * y0f, -mylo, myhi) + kylo
         dyb = jnp.clip(ty + ey * (y0f + lc - 1), -mylo, myhi) + kylo
-        bymf = jnp.floor(jnp.minimum(dya, dyb))
-        bym = bymf.astype(jnp.int32)
+        bym = jnp.floor(jnp.minimum(dya, dyb)).astype(jnp.int32)
+        y8 = pl.multiple_of(
+            jnp.minimum((bym // 8) * 8, ylen - lcwin), 8
+        )
+        ryr = bym - y8  # residual after the (clamped) 8-aligned base
         span_y = jnp.maximum(dya, dyb) - jnp.minimum(dya, dyb)
 
-        # q vectors: candidate coordinates (weights hat(q - o))
-        qx = _clipx(tx + ex * (x0f + jx) + plx) - o8f  # (tw, 1)
-        qy = (
-            jnp.clip(ty + ey * (y0f + iy), -mylo, myhi) + kylo - bymf
-        )  # (1, lc)
+        # candidate coordinates (weights hat(q - o), q >= 0 at the base)
+        qx = (
+            _clipx(tx + ex * (x0f + jx) + plx) - bmin.astype(jnp.float32)
+        )  # (tw, 1) — per-sublane in stage 1
+        qyT = (
+            jnp.clip(ty + ey * (y0f + iyT), -mylo, myhi) + kylo
+            - bym.astype(jnp.float32)
+        )  # (lc, 1) — per-sublane in stage 3
 
+        # class indices: smallest body with n >= floor(span)+2
+        def _cls_idx(span, classes):
+            idx = jnp.int32(len(classes) - 1)
+            for i in range(len(classes) - 2, -1, -1):
+                idx = jnp.where(span + 2.0 <= float(classes[i]),
+                                jnp.int32(i), idx)
+            return idx
+
+        ic_y = _cls_idx(span_y, ycls)
+        ic_x = _cls_idx(span_x, xcls)
+
+        outs = []
         for ch in range(lo, hi):
             slab = blk[ch, pl.ds(o8, twx), :]  # (twx, ylen)
-            slab = pltpu.roll(slab, -bym, 1)  # dynamic lane roll
-            ya_acc[:] = jnp.zeros((twx, lc), jnp.float32)
-            for o in range(my):
+            slab = pltpu.roll(slab, -rr, 0)  # power-of-two tiles: safe
 
-                # needed candidates: floor(qy_min) .. floor(qy_max)+1
-                # where qy_max < span_y + 1 (base = floor of the min) —
-                # the +2 covers the fractional parts on both ends
-                @pl.when(jnp.logical_or(o < 2, float(o) <= span_y + 2.0))
-                def _(o=o, slab=slab):
-                    w = jnp.maximum(0.0, 1.0 - jnp.abs(qy - float(o)))
-                    ya_acc[:] = ya_acc[:] + w * slab[:, o : o + lc]
+            def _xbody(n, slab=slab):
+                def body():
+                    xa = jnp.zeros((tw, ylen), jnp.float32)
+                    for o in range(n):
+                        w = jnp.maximum(0.0, 1.0 - jnp.abs(qx - float(o)))
+                        xa = xa + w * slab[o : o + tw, :]
+                    return xa
 
-            xa_acc[ch - lo] = jnp.zeros((tw, lc), jnp.float32)
-            for o in range(mx + 8):
+                return body
 
-                @pl.when(
-                    jnp.logical_and(
-                        float(o) >= rr, float(o) <= rr + span_x + 2.0
-                    )
-                )
-                def _(o=o, ch=ch):
-                    w = jnp.maximum(0.0, 1.0 - jnp.abs(qx - float(o)))
-                    xa_acc[ch - lo] = (
-                        xa_acc[ch - lo] + w * ya_acc[o : o + tw, :]
-                    )
+            xa = jax.lax.switch(ic_x, [_xbody(n) for n in xcls])
+            # transpose so y rides the sublane mechanism; scratch parks
+            # it for the dynamic 8-aligned base slice
+            tsp[:] = xa.T  # (ylen, tw)
+            slaby = tsp[pl.ds(y8, lcwin), :]  # (lcwin, tw)
+            slaby = pltpu.roll(slaby, -ryr, 0)
 
-        return xa_acc[0 : hi - lo]
+            def _ybody(n, slaby=slaby):
+                def body():
+                    ya = jnp.zeros((lc, tw), jnp.float32)
+                    for o in range(n):
+                        w = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(qyT - float(o))
+                        )
+                        ya = ya + w * slaby[o : o + lc, :]
+                    return ya
+
+                return body
+
+            ya_t = jax.lax.switch(ic_y, [_ybody(n) for n in ycls])
+            outs.append(ya_t.T)  # (tw, lc)
+        return jnp.stack(outs) if len(outs) > 1 else outs[0][None]
 
     def _tab(ch, k):
         return tab_ref[0, ch, k]
@@ -369,8 +425,7 @@ def _sweep_scaled(
         ),
         scratch_shapes=[
             pltpu.VMEM((nch, plan.bw, plan.ylen), jnp.float32),
-            pltpu.VMEM((plan.twx, lc), jnp.float32),  # ya_acc
-            pltpu.VMEM((4, tw, lc), jnp.float32),  # xa_acc
+            pltpu.VMEM((plan.ylen, tw), jnp.float32),  # tsp
             pltpu.VMEM((tw, lc), jnp.float32),  # pdiff
             pltpu.VMEM((tw, lc), jnp.float32),  # kstar
             pltpu.VMEM((tw, lc), jnp.float32),  # pdiffc

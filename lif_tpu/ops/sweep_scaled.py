@@ -49,6 +49,7 @@ __all__ = [
     "parallax_step_grids_batch",
     "render_scaled",
     "render_scaled_batch",
+    "render_scaled_fetch_batch",
     "render_scaled_xla",
     "finalize_scaled",
     "hit_and_alpha_scaled",
@@ -87,8 +88,15 @@ class ScaledPlan(NamedTuple):
     @property
     def twx(self) -> int:
         """Sublane extent of the per-plane x slab: band + candidates +
-        the 8-aligned base remainder + the bilinear tap."""
-        return _round_up(self.tw + self.mx + 9, 8)
+        the 8-aligned base remainder + the bilinear tap, rounded up to a
+        POWER-OF-TWO number of sublane tiles — `tpu.dynamic_rotate`
+        (the residual roll) silently miscompiles on non-power-of-two
+        tile counts (probed, scratch/probe_roll4.py)."""
+        need = self.tw + self.mx + 9
+        t = 1
+        while t * 8 < need:
+            t *= 2
+        return t * 8
 
     @property
     def bw(self) -> int:
@@ -198,7 +206,9 @@ def scaled_plan(
     my_hi = max(0, int(math.ceil(dy_hi)) + 2)
     my = int(math.ceil(e_abs * (_LC - 1))) + 2
     ky_lo = -(-my_lo // _LC)
-    ky_hi = -(-(my_hi + my + 2) // _LC)
+    # headroom for the kernel's y-stage slab: an 8-aligned base at
+    # bym_max plus the round8(lc + my + 16) slab extent must fit
+    ky_hi = -(-(my_hi + my + 23) // _LC)
     if ky_lo > ky_cap or ky_hi > ky_cap:
         raise ValueError(
             f"y displacement range [{-my_lo}, {my_hi}] exceeds the "
@@ -622,3 +632,107 @@ def render_scaled_batch(
         rgb, disp, mask, invz_min, invz_max, c1_b, f1, fr, plane_invz,
         background, plan, num_planes, **kw,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "num_planes", "mask_mode", "to_srgb", "refine", "raw",
+        "crop_y",
+    ),
+)
+def render_scaled_fetch_batch(
+    rgb,
+    disp,
+    mask,
+    invz_min,
+    invz_max,
+    c1_b,  # (B, 3)
+    f1,
+    fr,
+    plane_invz,
+    background,
+    plan: ScaledPlan,
+    num_planes: int,
+    feathering: float = 0.1,
+    mask_mode: str = "none",
+    to_srgb: bool = True,
+    refine: int = 1,
+    raw: bool = False,
+    dx_user: float = 0.0,
+    dy_user: float = 0.0,
+    crop_y: int = 0,
+):
+    """PRODUCTION scaled-tier render: the depth-only march + ONE packed
+    bilinear color gather at the solved position.
+
+    The full-color kernel path exists (render_scaled_batch) but pays the
+    4-channel warp at every flagged plane; fetching the color once at
+    the secant-solved position is both faster (a single ~5 ms/Mpx
+    patch-row gather) and sharper (an exact bilinear sample instead of
+    the two bracketing planes' lerp — the non-snap grids' color lerp is
+    only approximate). Mirrors the two-phase rotated path's Phase B with
+    an identity homography and the depth map on its own pixel grid (no
+    invz re-fetch). Returns (B, H, W, 4), or raw tuples.
+    """
+    from ..core.color import linear_to_srgb
+    from .sampling import bilinear_sample_packed, pack_rgbm
+
+    h, w = disp.shape
+    c1_b = jnp.asarray(c1_b, jnp.float32)
+    f1 = jnp.asarray(f1, jnp.float32)
+    fr = jnp.asarray(fr, jnp.float32)
+    background = jnp.asarray(background, jnp.float32)
+    found, izs = render_scaled_batch(
+        rgb, disp, mask, invz_min, invz_max, c1_b, f1, fr, plane_invz,
+        jnp.zeros(4, jnp.float32), plan, num_planes, mask_mode="none",
+        refine=refine, depth_only=True, dx_user=dx_user, dy_user=dy_user,
+    )
+    invz_star = jnp.where(found > 0.5, izs, 0.0)
+
+    jx = jnp.arange(plan.out_w, dtype=jnp.float32)[None, :]
+    iy = jnp.arange(plan.out_h, dtype=jnp.float32)[:, None]
+    bx = (plan.src_w - plan.out_w) / 2.0
+    by = (plan.src_h - plan.out_h) / 2.0
+    cx0 = (plan.out_w - 1) / 2.0
+    cy0 = (plan.out_h - 1) / 2.0
+    e = fr * (1.0 + c1_b[:, 2, None, None] * invz_star) - 1.0
+    gx = (
+        jx + bx + dx_user - f1 * c1_b[:, 0, None, None] * invz_star
+        + e * (jx - cx0)
+    )
+    gy = (
+        iy + by + dy_user - f1 * c1_b[:, 1, None, None] * invz_star
+        + e * (iy - cy0)
+    )
+    u1 = (gx + 0.5) / plan.src_w
+    v1 = (gy + crop_y + 0.5) / (plan.src_h + 2 * crop_y)
+    sampled = bilinear_sample_packed(pack_rgbm(rgb, mask), u1, v1, w, h)
+
+    inside = (
+        (u1 > 0.0) & (u1 < 1.0) & (v1 > 0.0) & (v1 < 1.0)
+    ).astype(jnp.float32)
+    f = jnp.maximum(feathering, 1e-6)
+    tap = (
+        _smoothstep(0.0, f, u1) * (1.0 - _smoothstep(1.0 - f, 1.0, u1))
+        * _smoothstep(0.0, f, v1) * (1.0 - _smoothstep(1.0 - f, 1.0, v1))
+    )
+    hit = found * inside
+    alpha = hit * tap
+    if mask_mode == "multiply":
+        alpha = alpha * jnp.clip(sampled[..., 3], 0.0, 1.0)
+    elif mask_mode == "hard":
+        alpha = alpha * (sampled[..., 3] >= 0.5).astype(jnp.float32)
+        hit = hit * (sampled[..., 3] >= 0.5).astype(jnp.float32)
+    elif mask_mode != "none":
+        raise ValueError(f"unsupported mask_mode: {mask_mode}")
+    if raw:
+        return sampled, alpha, hit, invz_star
+    acc_rgb = sampled[..., :3] * alpha[..., None]
+    out_rgb = (
+        background[:3] * background[3] * (1.0 - alpha[..., None]) + acc_rgb
+    )
+    out_a = background[3] + alpha * (1.0 - background[3])
+    if to_srgb:
+        out_rgb = linear_to_srgb(out_rgb)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
