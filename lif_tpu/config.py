@@ -49,6 +49,14 @@ class RenderConfig:
     # phases, so density + refine is the fidelity lever there.
     rotated_refine: int = 2
     rotated_step_px: float = 1.0  # max displacement change per plane, px
+    # pose-batch chunk INSIDE one device dispatch: batches larger than
+    # this run as a lax.map over fixed-size chunks (one compiled body,
+    # bounded intermediates) instead of growing the kernel batch axis.
+    # One dispatch serves arbitrarily many poses — the axon relay's
+    # ~50-80 ms non-pipelining per-dispatch overhead (docs/TPU_NOTES.md)
+    # amortizes over the WHOLE trajectory, while per-chunk HBM
+    # intermediates stay ~chunk x 30 MB.
+    pose_chunk: int = 48
     sweep_softness: float = 0.5  # occupancy width / local plane spacing
     sweep_chunk: int = 2  # planes per batched-matmul chunk
     color_dtype: str = "bfloat16"  # fast-path color warp precision

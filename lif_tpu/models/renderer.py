@@ -986,6 +986,7 @@ def render_fast_batch(
         out_w_true=cam0.width,
         pad_dx=dx_pad,
         crops=tuple(crops),
+        pose_chunk=cfg.pose_chunk,
     )
     layer_args = tuple(
         dict(
@@ -1044,18 +1045,121 @@ def _fast_batch_core(
     out_w_true=None,
     pad_dx=0.0,
     crops=None,
+    pose_chunk=0,
 ):
     """Traced body of render_fast_batch: per-layer batched kernels +
     front-to-back LDI compositing over the batch axis. Layer tiers:
     'march' (lateral snap translation — exact), 'scaled' (aligned
     xyz/zoom via the scaled march, no gathers), 'rotated' (two-phase:
     scaled depth solve + homography/color fetches), 'sweep' (matmul
-    plane sweep fallback)."""
+    plane sweep fallback).
+
+    Batches larger than `pose_chunk` run as a lax.map over fixed-size
+    pose chunks INSIDE this one jitted program: per-pose inputs (c1,
+    rot, snap/scaled/rotated plane tables) are split along the pose
+    axis while the textures stay loop-invariant. One device dispatch
+    serves the whole trajectory (the relay's per-dispatch overhead is
+    paid once), the compiled body stays one-chunk-sized, and the (B, 6,
+    W, H) march intermediates never exceed chunk x frame size."""
+    crops = crops or (0,) * len(layers)
+    out_w_true = out_w_true or out_w
+    # keys whose arrays carry a leading pose axis (everything else in a
+    # layer dict — textures, scalars — is pose-invariant). Shared plane
+    # grids are (K,) 1-D, per-pose ones (B, K): the ndim test separates
+    # them.
+    _PP_KEYS = ("plane_invz", "grids", "aligned")
+    pp_layers = tuple(
+        {
+            k: v
+            for k, v in lay.items()
+            if k in _PP_KEYS
+            and hasattr(v, "ndim")
+            and v.ndim >= 2
+            and v.shape[0] == batch
+        }
+        for lay in layers
+    )
+    fixed_layers = tuple(
+        {k: v for k, v in lay.items() if k not in pp}
+        for lay, pp in zip(layers, pp_layers)
+    )
+    if pose_chunk and batch > pose_chunk:
+        n_chunks = -(-batch // pose_chunk)
+        pad_n = n_chunks * pose_chunk - batch
+
+        def _split(a):
+            if pad_n:
+                a = jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], pad_n, axis=0)], axis=0
+                )
+            return a.reshape((n_chunks, pose_chunk) + a.shape[1:])
+
+        xs = (
+            _split(c1_b),
+            _split(rot_b),
+            tuple({k: _split(v) for k, v in pp.items()} for pp in pp_layers),
+        )
+        out = jax.lax.map(
+            lambda x: _fast_chunk_body(
+                fixed_layers, x[0], x[1], x[2], f2, background,
+                plans=plans, modes=modes, static_setups=static_setups,
+                rotated=rotated, refine=refine, rot_refine=rot_refine,
+                n_poses=pose_chunk, nums=nums, chunk=chunk,
+                feathering=feathering, mask_mode=mask_mode,
+                exact_color=exact_color, to_srgb=to_srgb, out_w=out_w,
+                out_h=out_h, out_w_true=out_w_true, pad_dx=pad_dx,
+                crops=crops,
+            ),
+            xs,
+        )
+        return out.reshape((n_chunks * pose_chunk,) + out.shape[2:])[:batch]
+    return _fast_chunk_body(
+        fixed_layers, c1_b, rot_b, pp_layers, f2, background,
+        plans=plans, modes=modes, static_setups=static_setups,
+        rotated=rotated, refine=refine, rot_refine=rot_refine,
+        n_poses=batch, nums=nums, chunk=chunk, feathering=feathering,
+        mask_mode=mask_mode, exact_color=exact_color, to_srgb=to_srgb,
+        out_w=out_w, out_h=out_h, out_w_true=out_w_true, pad_dx=pad_dx,
+        crops=crops,
+    )
+
+
+def _fast_chunk_body(
+    fixed_layers,
+    c1_b,  # (n, 3)
+    rot_b,  # (n, 3, 3)
+    pp_layers,  # per-layer dicts of per-pose arrays, leading dim n
+    f2,
+    background,
+    *,
+    plans,
+    modes,
+    static_setups,
+    rotated,
+    refine,
+    rot_refine,
+    n_poses,
+    nums,
+    chunk,
+    feathering,
+    mask_mode,
+    exact_color,
+    to_srgb,
+    out_w,
+    out_h,
+    out_w_true,
+    pad_dx,
+    crops,
+):
+    """One pose-chunk of _fast_batch_core: per-layer tier kernels +
+    front-to-back LDI compositing (the pre-chunking body, verbatim)."""
     zero_bg = jnp.zeros(4, jnp.float32)
     result_rgb = None
     result_a = None
-    crops = crops or (0,) * len(layers)
-    out_w_true = out_w_true or out_w
+    batch = n_poses
+    layers = tuple(
+        {**fixed, **pp} for fixed, pp in zip(fixed_layers, pp_layers)
+    )
     for lay, plan, m, setup, k_l, crop_y in zip(
         layers, plans, modes, static_setups, nums, crops
     ):
@@ -1363,6 +1467,7 @@ def render_stereo_fast_batch(
         skewed=skewed,
         out_w=cam0.width,
         out_h=cam0.height,
+        pose_chunk=cfg.pose_chunk,
     )
 
     def _args(prep, tables, doffs, setups, projector):
@@ -1438,11 +1543,117 @@ def _stereo_fast_core(
     out_h=None,
     crops_l=None,
     crops_r=None,
+    pose_chunk=0,
 ):
     """Traced body of render_stereo_fast_batch: per-view batched march
     tier (raw outputs), occlusion fill + view-weight blend per layer
-    (ops/stereo semantics), LDI compositing, background, gamma."""
+    (ops/stereo semantics), LDI compositing, background, gamma.
+
+    Like _fast_batch_core, batches beyond `pose_chunk` run as a lax.map
+    over fixed-size pose chunks inside this one dispatch (per-pose
+    tables split, textures loop-invariant)."""
+    batch = c1l_b.shape[0]
+    _PP_KEYS = ("plane_invz", "grids", "aligned")
+
+    def _split_layers(layers):
+        pp = tuple(
+            {
+                k: v
+                for k, v in lay.items()
+                if k in _PP_KEYS
+                and hasattr(v, "ndim")
+                and v.ndim >= 2
+                and v.shape[0] == batch
+            }
+            for lay in layers
+        )
+        fixed = tuple(
+            {k: v for k, v in lay.items() if k not in p}
+            for lay, p in zip(layers, pp)
+        )
+        return pp, fixed
+
+    pp_l, fixed_l = _split_layers(layers_l)
+    pp_r, fixed_r = _split_layers(layers_r)
+    kw = dict(
+        plans_l=plans_l, plans_r=plans_r, num_layers=num_layers,
+        nums_l=nums_l, nums_r=nums_r, modes_l=modes_l, modes_r=modes_r,
+        static_l=static_l, static_r=static_r, refine=refine,
+        rot_refine=rot_refine, feathering=feathering,
+        mask_mode=mask_mode, to_srgb=to_srgb, skewed=skewed,
+        out_w=out_w, out_h=out_h, crops_l=crops_l, crops_r=crops_r,
+    )
+    if pose_chunk and batch > pose_chunk:
+        n_chunks = -(-batch // pose_chunk)
+        pad_n = n_chunks * pose_chunk - batch
+
+        def _split(a):
+            if pad_n:
+                a = jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], pad_n, axis=0)], axis=0
+                )
+            return a.reshape((n_chunks, pose_chunk) + a.shape[1:])
+
+        xs = (
+            _split(c1l_b), _split(c1r_b), _split(rotl_b), _split(rotr_b),
+            tuple({k: _split(v) for k, v in pp.items()} for pp in pp_l),
+            tuple({k: _split(v) for k, v in pp.items()} for pp in pp_r),
+        )
+        out = jax.lax.map(
+            lambda x: _stereo_chunk_body(
+                fixed_l, fixed_r, x[0], x[1], x[2], x[3], x[4], x[5],
+                f2, background, **kw,
+            ),
+            xs,
+        )
+        return out.reshape((n_chunks * pose_chunk,) + out.shape[2:])[:batch]
+    return _stereo_chunk_body(
+        fixed_l, fixed_r, c1l_b, c1r_b, rotl_b, rotr_b, pp_l, pp_r,
+        f2, background, **kw,
+    )
+
+
+def _stereo_chunk_body(
+    fixed_l,
+    fixed_r,
+    c1l_b,
+    c1r_b,
+    rotl_b,
+    rotr_b,
+    pp_l,
+    pp_r,
+    f2,
+    background,
+    *,
+    plans_l,
+    plans_r,
+    num_layers,
+    nums_l,
+    nums_r,
+    modes_l,
+    modes_r,
+    static_l,
+    static_r,
+    refine,
+    rot_refine,
+    feathering,
+    mask_mode,
+    to_srgb,
+    skewed,
+    out_w,
+    out_h,
+    crops_l,
+    crops_r,
+):
+    """One pose-chunk of _stereo_fast_core (the pre-chunking body)."""
     from ..ops.stereo import view_weight
+
+    layers_l = tuple(
+        {**fixed, **pp} for fixed, pp in zip(fixed_l, pp_l)
+    )
+    layers_r = tuple(
+        {**fixed, **pp} for fixed, pp in zip(fixed_r, pp_r)
+    )
 
     zero_bg = jnp.zeros(4, jnp.float32)
     # per-pose blend weight: render camera at the origin of its own frame
