@@ -1,0 +1,516 @@
+"""Single-phase TARGET-RAY march for rotated novel views — host math and
+the XLA reference implementation.
+
+Round-3 replacement for the two-phase rotated path (ops/rotated_march):
+instead of solving depth on an intermediate aligned grid and fetching it
+back through the rotation homography (whose bilinear fetch quantizes
+depth-edge positions to the intermediate lattice — the measured ~37 dB
+ceiling, BENCH_DETAILS config1), march the full-resolution source
+DIRECTLY along every target ray. The march then has no resampling stage
+at all: first-crossing, secant, and color interpolation all happen at
+the true target-ray positions, which is march-exact by construction
+(reference semantics: src/shaders/rayCastMonoLDI.glsl:219-297 — the
+fragment march is per-target-pixel for ANY FSKR2/C; this module is that
+march vectorized over planes instead of per-ray loops).
+
+Geometry. With the target-frame relative pose (rot1, c1) and focals
+(f1, f2), define (exactly as ops/rotated_march.pose_maps):
+
+    q       = homography(rot1, f1, f2) applied to the target pixel
+    c_vec   = FSKR1 @ (-c1)
+    s1(v)   = c_vec * v + (1 - c_vec_z * v) * q        (glsl:249)
+
+so the SOURCE PIXEL position of target pixel p at inverse depth v is
+affine in v with PER-ELEMENT coefficients:
+
+    X(p, v) = AX(p) + v * DX(p)    AX = (qx + 0.5) * w - 0.5   [index]
+    Y(p, v) = AY(p) + v * DY(p)    DX = (c_x - c_z * qx) * w   [px / v]
+
+The Pallas kernel (ops/pallas/sweep_target.py) evaluates the per-plane
+bilinear sample gather-free: narrow 8-column bands keep the within-band
+position spread (the homography stretch) to a few hat-weight candidates
+per axis, the same separable hat mechanism as ops/pallas/sweep_scaled
+but with per-element fields instead of per-plane scalars.
+
+Eligibility: the x-stage assumes X is independent of the target ROW
+(exact for yaw-only relative rotations, h01 == h21 == 0 — the orbit
+family); `plan_target` measures the actual row-dependence and raises
+when it exceeds a fraction of a pixel. Pitch-dominant rotations go
+through the renderer's transpose route or fall back to the two-phase
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.color import linear_to_srgb
+
+__all__ = [
+    "TargetPlan",
+    "plan_target",
+    "target_pose_scalars",
+    "target_plane_grids",
+    "render_target_xla",
+    "finalize_target",
+]
+
+_LC = 128  # lane count: y-chunk height
+_TW = 8  # band width in target columns (sublanes per tile)
+
+
+def _round_up(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
+class TargetPlan(NamedTuple):
+    """Static geometry of the target-ray march (host ints; jit statics).
+
+    The padded source is transposed (C, Wp, Hp). Each (band, chunk)
+    program holds a (C, bw, ylen) window resident; per-(pose, band)
+    x-origins and per-(pose, band, chunk) y-origins come from SMEM
+    tables (the window position tracks the homography, unlike the
+    lateral kernel's uniform slide)."""
+
+    src_w: int
+    src_h: int
+    out_w: int
+    out_h: int
+    pad_x: int  # symmetric x padding of the source (edge-replicated)
+    pad_y: int  # symmetric y padding
+    bw: int  # resident window width (sublanes), multiple of 8
+    ylen: int  # resident window height (lanes), multiple of 128
+    nxc: int  # max x hat candidates (static unroll cap)
+    nyc: int  # max y hat candidates
+    hp_out: int  # padded output height (lane grid)
+
+
+def _pose_fields_np(rot1, c1, f1, f2, out_w, out_h, src_w, src_h):
+    """Float64 host twins of the kernel's pose fields: the full p_ts
+    homography matrix and c_vec (matches rotated_march.pose_maps)."""
+    skr1 = _shader_rotation_np(np.asarray(rot1, np.float64))
+    fskr1 = _mat_from_focal_np(f1 / src_w, f1 / src_h) @ skr1
+    fskr2 = _mat_from_focal_np(f2 / out_w, f2 / out_h)
+    p_ts = fskr1 @ np.linalg.inv(fskr2)
+    c_vec = fskr1 @ (-np.asarray(c1, np.float64))
+    return p_ts, c_vec
+
+
+def _shader_rotation_np(rot):
+    """Numpy twin of core.transforms.shader_rotation (z-flip conjugation)."""
+    flip = np.diag([1.0, 1.0, -1.0])
+    return flip @ np.asarray(rot, np.float64).T @ flip
+
+
+def _mat_from_focal_np(fx, fy):
+    return np.diag([fx, fy, 1.0])
+
+
+def _proj_np(p, sx, sy):
+    den = p[2, 0] * sx + p[2, 1] * sy + p[2, 2]
+    return (
+        (p[0, 0] * sx + p[0, 1] * sy + p[0, 2]) / den,
+        (p[1, 0] * sx + p[1, 1] * sy + p[1, 2]) / den,
+    )
+
+
+def target_pose_scalars(rot1, c1, f1, f2, out_w, out_h, src_w, src_h):
+    """(16,) f32 per-pose scalar pack for the kernel: row-major p_ts (9),
+    c_vec (3), and 4 spare zeros."""
+    p_ts, c_vec = _pose_fields_np(rot1, c1, f1, f2, out_w, out_h,
+                                  src_w, src_h)
+    out = np.zeros(16, np.float64)
+    out[:9] = p_ts.reshape(-1)
+    out[9:12] = c_vec
+    return out.astype(np.float32)
+
+
+def target_plane_grids(rot_list, c1_list, f1, f2, out_w, out_h,
+                       src_w, src_h, izmin, izmax, step_px=1.0,
+                       num_planes=None, bucket=64, max_planes=1024):
+    """Per-pose inverse-depth ladders with one shared bucketed K.
+
+    Plane density: at most `step_px` pixels of source-position change per
+    plane for ANY target pixel (max over the four image corners of
+    |DX|, |DY|). Padding planes continue ABOVE izmin (texel thresholds
+    > 1: never crossed, pruned by the skip test). Returns ((B, K) f32
+    descending, K)."""
+    ks, dm = [], []
+    for rot1, c1 in zip(rot_list, c1_list):
+        p_ts, c_vec = _pose_fields_np(rot1, c1, f1, f2, out_w, out_h,
+                                      src_w, src_h)
+        sx = np.array([-0.5, 0.5, -0.5, 0.5])
+        sy = np.array([-0.5, -0.5, 0.5, 0.5])
+        qx, qy = _proj_np(p_ts, sx, sy)
+        dx = np.abs(c_vec[0] - c_vec[2] * qx) * src_w
+        dy = np.abs(c_vec[1] - c_vec[2] * qy) * src_h
+        dmax = max(dx.max(), dy.max())
+        dm.append(dmax)
+        k = int(math.ceil(dmax * (izmin - izmax) / step_px)) + 2
+        ks.append(min(max_planes, max(2, k)))
+    k_shared = num_planes or max(bucket, _round_up(max(ks), bucket))
+    grids = []
+    for k_pose, dmax in zip(ks, dm):
+        k_real = min(k_pose, k_shared)
+        grid = np.linspace(izmin, izmax, k_real)
+        pad = k_shared - k_real
+        if pad:
+            step = grid[0] - grid[1] if k_real > 1 else (izmin - izmax)
+            top = izmin + step * np.arange(pad, 0, -1, dtype=np.float64)
+            grid = np.concatenate([top, grid])
+        grids.append(grid)
+    return np.stack(grids).astype(np.float32), k_shared
+
+
+def plan_target(
+    src_w: int,
+    src_h: int,
+    out_w: int,
+    out_h: int,
+    f1: float,
+    f2: float,
+    rot_list,
+    c1_list,
+    izmin: float,
+    izmax: float,
+    yaw_tol_px: float = 0.35,
+    nxc_cap: int = 22,
+    nyc_cap: int = 48,
+    bw_cap: int = 2048,
+):
+    """Host plan: window extents and candidate caps for the pose batch.
+
+    Raises ValueError when the pose family leaves the kernel's budgets
+    (row-dependent x positions beyond `yaw_tol_px`, candidate spans
+    beyond the caps, window wider than `bw_cap`) — the renderer falls
+    back to the two-phase rotated path.
+
+    Returns (plan, xlo (B, nb) i32, ylo (B, nb, nc) i32) where xlo/ylo
+    are PADDED-source window origins per band / per (band, chunk)."""
+    if out_w % _TW:
+        raise ValueError(f"out_w {out_w} must be divisible by {_TW}")
+    nb = out_w // _TW
+    hp_out = _round_up(out_h, _LC)
+    nc = hp_out // _LC
+    b_n = len(rot_list)
+    r = izmin - izmax
+
+    xlo_all = np.zeros((b_n, nb), np.int64)
+    ylo_all = np.zeros((b_n, nb, nc), np.int64)
+    xhi_all = np.zeros((b_n, nb), np.int64)
+    yhi_all = np.zeros((b_n, nb, nc), np.int64)
+    nx_need = 0
+    ny_need = 0
+
+    for bi, (rot1, c1) in enumerate(zip(rot_list, c1_list)):
+        p_ts, c_vec = _pose_fields_np(rot1, c1, f1, f2, out_w, out_h,
+                                      src_w, src_h)
+        # yaw gate: X must not depend on the target row
+        jg = (np.arange(nb + 1) * _TW).astype(np.float64)
+        sxg = (jg + 0.5) / out_w - 0.5  # band edges (+ right edge)
+        for syg in (-0.5, 0.5):
+            qx_t, _ = _proj_np(p_ts, sxg, syg)
+            qx_m, _ = _proj_np(p_ts, sxg, 0.0)
+            dxv = np.abs(qx_t - qx_m) * src_w
+            dvx = np.abs(c_vec[2] * (qx_t - qx_m)) * src_w * izmin
+            if (dxv + dvx).max() > yaw_tol_px:
+                raise ValueError(
+                    "rotation has row-dependent x positions "
+                    f"(max {float((dxv + dvx).max()):.2f} px > "
+                    f"{yaw_tol_px}); not a yaw-family pose"
+                )
+        # band x extents: X(j, v) = AX + v DX, monotone in j; v in
+        # {izmax, izmin} covers the v range (affine in v)
+        qx_e, _ = _proj_np(p_ts, sxg, 0.0)
+        ax_e = (qx_e + 0.5) * src_w - 0.5
+        dx_e = (c_vec[0] - c_vec[2] * qx_e) * src_w
+        x_lo = np.minimum.reduce(
+            [ax_e + izmax * dx_e, ax_e + izmin * dx_e]
+        )
+        x_hi = np.maximum.reduce(
+            [ax_e + izmax * dx_e, ax_e + izmin * dx_e]
+        )
+        xlo_all[bi] = np.floor(np.minimum(x_lo[:-1], x_lo[1:])).astype(
+            np.int64) - 2
+        xhi_all[bi] = np.ceil(np.maximum(x_hi[:-1], x_hi[1:])).astype(
+            np.int64) + 2
+        # per-band x candidate need: the kernel's candidates are ABSOLUTE
+        # source columns from a per-plane scalar base (no slide with j),
+        # so the span includes the band's own width in source space
+        # (~_TW * scale) plus the homography stretch
+        for v in (izmax, izmin):
+            pos = ax_e + v * dx_e
+            span_b = np.abs(pos[1:] - pos[:-1])
+            nx_need = max(nx_need, int(np.ceil(span_b.max())) + 3)
+        # per (band, chunk) y extents from the 4 cell corners (AY - i and
+        # DY are each corner-extremal in (x, y); bounding the sum by the
+        # sum of corner bounds is conservative)
+        ig = np.minimum(np.arange(nc + 1) * _LC, out_h).astype(np.float64)
+        bx_l = sxg[:-1]
+        bx_r = sxg[1:]
+        for ci in range(nc):
+            rows = np.array([ig[ci], max(ig[ci], min(ig[ci + 1], out_h)
+                                         - 1.0)])
+            sy_c = (rows + 0.5) / out_h - 0.5
+            # corner extremes of rel (= AY - local row) and DY separately
+            # — the kernel bounds the per-plane span by the sum of corner
+            # bounds (rlo = r_min + v*d_min), so the plan must budget for
+            # exactly that decomposition, per v (bym re-bases per plane)
+            a_lo = np.full(nb, np.inf)
+            a_hi = np.full(nb, -np.inf)
+            d_lo = np.full(nb, np.inf)
+            d_hi = np.full(nb, -np.inf)
+            abs_lo = np.full(nb, np.inf)
+            abs_hi = np.full(nb, -np.inf)
+            for sxe in (bx_l, bx_r):
+                for rw, sye in zip(rows, sy_c):
+                    _, qy_c = _proj_np(p_ts, sxe, sye)
+                    ay_c = (qy_c + 0.5) * src_h - 0.5
+                    dy_c = (c_vec[1] - c_vec[2] * qy_c) * src_h
+                    a_lo = np.minimum(a_lo, ay_c - (rw - ig[ci]))
+                    a_hi = np.maximum(a_hi, ay_c - (rw - ig[ci]))
+                    d_lo = np.minimum(d_lo, dy_c)
+                    d_hi = np.maximum(d_hi, dy_c)
+                    for v in (izmax, izmin):
+                        pos = ay_c + v * dy_c
+                        abs_lo = np.minimum(abs_lo, pos)
+                        abs_hi = np.maximum(abs_hi, pos)
+            ylo_all[bi, :, ci] = np.floor(abs_lo).astype(np.int64) - 2
+            yhi_all[bi, :, ci] = np.ceil(abs_hi).astype(np.int64) + 2
+            for v in (izmax, izmin):
+                span_v = (a_hi + v * d_hi) - (a_lo + v * d_lo)
+                ny_need = max(ny_need, int(np.ceil(span_v.max())) + 3)
+
+    if nx_need > nxc_cap:
+        raise ValueError(f"x candidate span {nx_need} > cap {nxc_cap}")
+    if ny_need > nyc_cap:
+        raise ValueError(f"y candidate span {ny_need} > cap {nyc_cap}")
+
+    # share windows across the pose batch (the kernel's resident window
+    # is DMA'd once per (band, chunk) and reused pose-innermost)
+    xlo_sh = xlo_all.min(axis=0)  # (nb,)
+    xhi_sh = xhi_all.max(axis=0)
+    ylo_sh = ylo_all.min(axis=0)  # (nb, nc)
+    yhi_sh = yhi_all.max(axis=0)
+
+    # bw covers the extent plus the slab reach (o8 never clips: the
+    # 8-aligned slab base + _TWX sublanes always fit)
+    bw_need = int((xhi_sh - xlo_sh).max()) + 32 + 16
+    bw = _round_up(bw_need, 8)
+    if bw > bw_cap:
+        raise ValueError(f"window width {bw} > cap {bw_cap}")
+    # DMA lane offsets must be 128-aligned: origins floor to 128, so the
+    # window height carries up to 127 rows of slack on top of the span
+    ylen_need = int((yhi_sh - ylo_sh).max()) + ny_need + 8 + 128
+    ylen = _round_up(max(ylen_need, 2 * _LC), _LC)
+
+    # padded-source origins (before alignment)
+    pad_x = max(0, int(-xlo_sh.min()), int((xlo_sh + bw).max()) - src_w)
+    pad_x = _round_up(pad_x, 8)
+    xlo_pad = ((xlo_sh + pad_x) // 8) * 8
+    # pad_y must be FINAL before computing padded origins (the kernel's
+    # yoff uses plan.pad_y); flooring origins to 128 costs <= 127 rows,
+    # already budgeted in ylen. pad_y >= ylo_sh.max() + ylen - src_h
+    # guarantees window bottoms stay inside the padded image.
+    pad_y = _round_up(
+        max(0, int(-ylo_sh.min()), int(ylo_sh.max()) + ylen - src_h), 8
+    )
+    ylo_pad = ((ylo_sh + pad_y) // 128) * 128
+    # hp_src in the kernel wrapper is h + 2*pad_y rounded to _LC; ensure
+    # every window row exists there
+    hp_src = _round_up(src_h + 2 * pad_y, _LC)
+    assert int((ylo_pad + ylen).max()) <= hp_src, (ylo_pad.max(), ylen,
+                                                  hp_src)
+
+    plan = TargetPlan(
+        src_w=src_w, src_h=src_h, out_w=out_w, out_h=out_h,
+        pad_x=pad_x, pad_y=pad_y, bw=bw, ylen=ylen,
+        nxc=nx_need, nyc=ny_need, hp_out=hp_out,
+    )
+    assert xlo_pad.min() >= 0 and ylo_pad.min() >= 0
+    assert int((xlo_pad + bw).max()) <= src_w + 2 * pad_x + 8
+    return (
+        plan,
+        xlo_pad.astype(np.int32),
+        ylo_pad.astype(np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (dense, gather-based): golden twin of the kernel
+# ---------------------------------------------------------------------------
+
+
+def _fields(pose_sc, out_w, out_h, src_w, src_h, dtype=jnp.float32):
+    """Per-pixel AX, DX, AY, DY from the (16,) pose scalar pack."""
+    p = pose_sc[:9].reshape(3, 3)
+    cv = pose_sc[9:12]
+    jx = (jnp.arange(out_w, dtype=dtype) + 0.5) / out_w - 0.5
+    iy = (jnp.arange(out_h, dtype=dtype) + 0.5) / out_h - 0.5
+    sx, sy = jnp.meshgrid(jx, iy)
+    den = p[2, 0] * sx + p[2, 1] * sy + p[2, 2]
+    qx = (p[0, 0] * sx + p[0, 1] * sy + p[0, 2]) / den
+    qy = (p[1, 0] * sx + p[1, 1] * sy + p[1, 2]) / den
+    ax = (qx + 0.5) * src_w - 0.5
+    ay = (qy + 0.5) * src_h - 0.5
+    dx = (cv[0] - cv[2] * qx) * src_w
+    dy = (cv[1] - cv[2] * qy) * src_h
+    return ax, dx, ay, dy, qx, qy
+
+
+def _bil(img, px, py):
+    h, w = img.shape[:2]
+    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(px - x0, 0.0, 1.0)
+    fy = jnp.clip(py - y0, 0.0, 1.0)
+    g = lambda yy, xx: img[yy, xx]
+    return (
+        g(y0, x0) * (1 - fx) * (1 - fy)
+        + g(y0, x0 + 1) * fx * (1 - fy)
+        + g(y0 + 1, x0) * (1 - fx) * fy
+        + g(y0 + 1, x0 + 1) * fx * fy
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_planes", "out_w", "out_h", "mask_mode", "to_srgb", "raw",
+    ),
+)
+def render_target_xla(
+    rgb,
+    disp,
+    mask,
+    invz_min,
+    invz_max,
+    pose_sc,  # (16,) target_pose_scalars
+    plane_invz,  # (K,) descending
+    background,
+    num_planes: int,
+    out_w: int,
+    out_h: int,
+    feathering: float = 0.1,
+    mask_mode: str = "none",
+    to_srgb: bool = True,
+    raw: bool = False,
+):
+    """Dense XLA twin of the target-ray march kernel (one pose). The
+    golden oracle for kernel tests and the CPU-backend fallback at small
+    sizes; semantics identical (texel-space pass 1, bracket secant,
+    bracket color lerp with k* == 0 snapping to t = 1)."""
+    h, w = disp.shape
+    izmin = jnp.asarray(invz_min, jnp.float32)
+    izmax = jnp.asarray(invz_max, jnp.float32)
+    dd = disp.astype(jnp.float32)
+    ax, dxf, ay, dyf, qx, qy = _fields(pose_sc, out_w, out_h, w, h)
+    vg = jnp.asarray(plane_invz, jnp.float32)
+    tk = (vg - izmax) / (izmin - izmax)
+
+    def step(carry, kv):
+        kstar, pdiffc, diffc, pdiff, k = carry
+        v, tkk = kv
+        tex = _bil(dd, ax + v * dxf, ay + v * dyf)
+        diff = tex - tkk
+        crossed = jnp.logical_and(kstar < 0, diff > 0.0)
+        kstar = jnp.where(crossed, k, kstar)
+        pdiffc = jnp.where(crossed, pdiff, pdiffc)
+        diffc = jnp.where(crossed, diff, diffc)
+        return (kstar, pdiffc, diffc, diff, k + 1), None
+
+    init = (
+        jnp.full((out_h, out_w), -1, jnp.int32),
+        jnp.zeros((out_h, out_w), jnp.float32),
+        jnp.zeros((out_h, out_w), jnp.float32),
+        jnp.zeros((out_h, out_w), jnp.float32),
+        jnp.int32(0),
+    )
+    (kstar, pdiffc, diffc, _, _), _ = jax.lax.scan(
+        step, init, (vg, tk)
+    )
+    t = jnp.clip(
+        pdiffc / jnp.minimum(pdiffc - diffc, -1e-12), 0.0, 1.0
+    )
+    t = jnp.where(kstar == 0, 1.0, t)
+    found = kstar >= 0
+    km1 = jnp.maximum(kstar - 1, 0)
+    kc = jnp.maximum(kstar, 0)
+    v0 = vg[km1]
+    v1 = vg[kc]
+    vstar = v0 + t * (v1 - v0)
+
+    # bracket color lerp at the bracketing planes' positions
+    rgbm = jnp.concatenate(
+        [rgb.astype(jnp.float32), mask.astype(jnp.float32)[..., None]],
+        axis=-1,
+    )
+
+    def samp(v):
+        px = ax + v * dxf
+        py = ay + v * dyf
+        return jnp.stack(
+            [_bil(rgbm[..., ch], px, py) for ch in range(4)], axis=-1
+        )
+
+    c0 = samp(v0)
+    c1 = samp(v1)
+    rgba = c0 + t[..., None] * (c1 - c0)
+    rgba = jnp.where((kstar == 0)[..., None], c1, rgba)
+    return finalize_target(
+        pose_sc, found.astype(jnp.float32), vstar, rgba,
+        jnp.asarray(background, jnp.float32), izmin, izmax,
+        out_w, out_h, w, h, feathering, mask_mode, to_srgb, raw,
+    )
+
+
+def finalize_target(
+    pose_sc, found, vstar, rgba, background, izmin, izmax,
+    out_w, out_h, src_w, src_h, feathering, mask_mode, to_srgb, raw,
+):
+    """Shared epilogue: visibility taper at the solved position, mask
+    gating, background blend, gamma (mirrors rotated_march lines
+    296-335; reference: rayCastMonoLDI.glsl taper + main)."""
+    ax, dxf, ay, dyf, _, _ = _fields(pose_sc, out_w, out_h, src_w, src_h)
+    v = jnp.clip(vstar, izmax, izmin)
+    u1 = (ax + v * dxf + 0.5) / src_w
+    v1 = (ay + v * dyf + 0.5) / src_h
+
+    def ss(e0, e1, x):
+        t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    inside = (
+        (u1 > 0.0) & (u1 < 1.0) & (v1 > 0.0) & (v1 < 1.0)
+    ).astype(jnp.float32)
+    f = jnp.maximum(feathering, 1e-6)
+    tap = (
+        ss(0.0, f, u1) * (1.0 - ss(1.0 - f, 1.0, u1))
+        * ss(0.0, f, v1) * (1.0 - ss(1.0 - f, 1.0, v1))
+    )
+    hit = found * inside
+    alpha = hit * tap
+    if mask_mode == "multiply":
+        alpha = alpha * jnp.clip(rgba[..., 3], 0.0, 1.0)
+    elif mask_mode == "hard":
+        keep = (rgba[..., 3] >= 0.5).astype(jnp.float32)
+        alpha = alpha * keep
+        hit = hit * keep
+    elif mask_mode != "none":
+        raise ValueError(f"unsupported mask_mode: {mask_mode}")
+    if raw:
+        return rgba, alpha, hit, jnp.where(found > 0.0, vstar, 0.0)
+    acc = rgba[..., :3] * alpha[..., None]
+    out_rgb = (
+        background[:3] * background[3] * (1.0 - alpha[..., None]) + acc
+    )
+    out_a = background[3] + alpha * (1.0 - background[3])
+    if to_srgb:
+        out_rgb = linear_to_srgb(out_rgb)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
