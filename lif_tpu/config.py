@@ -49,6 +49,14 @@ class RenderConfig:
     # phases, so density + refine is the fidelity lever there.
     rotated_refine: int = 2
     rotated_step_px: float = 1.0  # max displacement change per plane, px
+    # single-phase target-ray march (ops/sweep_target): the production
+    # rotated tier. Plane density = max L1 source-path length per plane
+    # over the image corners. No refine knob: the tier marches
+    # depth-only and fetches color with one exact bilinear gather at
+    # the solved position (render_target_fetch_batch) — in-bracket
+    # refine was measured to not help (39.34 -> 39.45 dB) while the
+    # fetch gains +7..13 dB over the bracket color lerp.
+    target_step_px: float = 1.0
     # pose-batch chunk INSIDE one device dispatch: batches larger than
     # this run as a lax.map over fixed-size chunks (one compiled body,
     # bounded intermediates) instead of growing the kernel batch axis.

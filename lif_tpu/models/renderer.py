@@ -25,6 +25,7 @@ from ..ops import stereo as _stereo
 from ..ops import sweep_fast as _sweep_fast
 from ..ops import sweep_march as _sweep_march
 from ..ops import sweep_scaled as _sweep_scaled
+from ..ops import sweep_target as _sweep_target
 from .projector import Projector
 
 __all__ = [
@@ -859,8 +860,10 @@ def render_fast_batch(
 
     def _layer_mode(lay):
         """Per-layer dispatch tier: 'march' (lateral snap — exact),
-        'scaled' (aligned xyz + zoom, direct scaled march), 'rotated'
-        (two-phase march), 'sweep' (fallback). Returns (mode, setup)."""
+        'scaled' (aligned xyz + zoom, direct scaled march), 'target'
+        (single-phase target-ray march — rotated yaw-family poses,
+        march-exact), 'rotated' (two-phase march fallback), 'sweep'
+        (fallback). Returns (mode, setup)."""
         if _lat_ok(lay):
             return "march", None
         if method not in ("march", "auto"):
@@ -886,6 +889,39 @@ def render_fast_batch(
                 step_px=cfg.rotated_step_px, num_planes=explicit_planes,
             )
             return "scaled", (plan, k_l, fr, jnp.asarray(grids))
+        # rotated: single-phase target-ray march first (march-exact for
+        # the yaw family — orbit/pan; plan_target raises for
+        # row-dependent x positions and for non-128-divisible widths),
+        # then the two-phase rotated march, then the sweep.
+        if dx_pad == 0.0:
+            try:
+                tplan, xlo_t, ylo_t = _sweep_target.plan_target(
+                    lay["w"], lay["h"], out_w_eff, cam0.height,
+                    lay["focal_host"], f2_host, rot_list, pos_list,
+                    lay["izmin_host"], lay["izmax_host"],
+                )
+                grids_t, k_t = _sweep_target.target_plane_grids(
+                    rot_list, pos_list, lay["focal_host"], f2_host,
+                    out_w_eff, cam0.height, lay["w"], lay["h"],
+                    lay["izmin_host"], lay["izmax_host"],
+                    step_px=cfg.target_step_px, num_planes=explicit_planes,
+                )
+                poses_t = np.stack([
+                    _sweep_target.target_pose_scalars(
+                        r, c, lay["focal_host"], f2_host, out_w_eff,
+                        cam0.height, lay["w"], lay["h"],
+                    )
+                    for r, c in zip(rot_list, pos_list)
+                ])
+                return "target", (
+                    tplan, k_t,
+                    jnp.asarray(poses_t, jnp.float32),
+                    jnp.asarray(grids_t, jnp.float32),
+                    jnp.asarray(xlo_t, jnp.int32),
+                    jnp.asarray(ylo_t, jnp.int32),
+                )
+            except ValueError:
+                pass
         try:
             plan, wi, hi, aligned, grids, k_l, skip = (
                 _rotated_march.plan_rotated(
@@ -967,6 +1003,7 @@ def render_fast_batch(
         modes=tuple(modes),
         static_setups=tuple(
             (s[0], s[1], s[2]) if m == "scaled"
+            else (s[0], s[1]) if m == "target"
             else (s[0], s[1], s[2], s[3], s[4]) if m == "rotated"
             else None
             for m, s in zip(modes, setups)
@@ -997,6 +1034,10 @@ def render_fast_batch(
             ),
             **(
                 {"grids": s[3]} if m == "scaled"
+                else {
+                    "pose_sc": s[2], "grids": s[3],
+                    "xlo": s[4], "ylo": s[5],
+                } if m == "target"
                 else {"aligned": s[5], "grids": s[6]} if m == "rotated"
                 else {}
             ),
@@ -1050,9 +1091,11 @@ def _fast_batch_core(
     """Traced body of render_fast_batch: per-layer batched kernels +
     front-to-back LDI compositing over the batch axis. Layer tiers:
     'march' (lateral snap translation — exact), 'scaled' (aligned
-    xyz/zoom via the scaled march, no gathers), 'rotated' (two-phase:
-    scaled depth solve + homography/color fetches), 'sweep' (matmul
-    plane sweep fallback).
+    xyz/zoom via the scaled march, no gathers), 'target' (single-phase
+    target-ray march — rotated yaw-family poses, march-exact, no
+    resampling stage), 'rotated' (two-phase fallback: scaled depth
+    solve + homography/color fetches), 'sweep' (matmul plane sweep
+    fallback).
 
     Batches larger than `pose_chunk` run as a lax.map over fixed-size
     pose chunks INSIDE this one jitted program: per-pose inputs (c1,
@@ -1064,10 +1107,10 @@ def _fast_batch_core(
     crops = crops or (0,) * len(layers)
     out_w_true = out_w_true or out_w
     # keys whose arrays carry a leading pose axis (everything else in a
-    # layer dict — textures, scalars — is pose-invariant). Shared plane
-    # grids are (K,) 1-D, per-pose ones (B, K): the ndim test separates
-    # them.
-    _PP_KEYS = ("plane_invz", "grids", "aligned")
+    # layer dict — textures, scalars, the target tier's window tables —
+    # is pose-invariant). Shared plane grids are (K,) 1-D, per-pose ones
+    # (B, K): the ndim test separates them.
+    _PP_KEYS = ("plane_invz", "grids", "aligned", "pose_sc")
     pp_layers = tuple(
         {
             k: v
@@ -1185,6 +1228,16 @@ def _fast_chunk_body(
                 jnp.float32(fr), lay["grids"], zero_bg,
                 splan, sk, feathering=feathering, mask_mode=mask_mode,
                 to_srgb=False, refine=rot_refine, dx_user=pad_dx,
+            )
+        elif m == "target":
+            tplan, k_t = setup
+            layer = _sweep_target.render_target_fetch_batch(
+                lay["rgb"], lay["disp"], lay["mask"],
+                lay["izmin"], lay["izmax"],
+                lay["pose_sc"], lay["grids"], zero_bg,
+                tplan, lay["xlo"], lay["ylo"], k_t,
+                feathering=feathering, mask_mode=mask_mode,
+                to_srgb=False,
             )
         elif m == "rotated":
             rplan, wi, hi, rk, skip = setup
@@ -1412,29 +1465,66 @@ def render_stereo_fast_batch(
                     )
                     modes.append("scaled")
                     setups.append(
-                        ((plan, k_l, fr), jnp.asarray(grids), None)
+                        ((plan, k_l, fr), {"grids": jnp.asarray(grids)})
                     )
-                else:
-                    plan, wi, hi, aligned, grids, k_l, skip = (
-                        _rotated_march.plan_rotated(
-                            lay["w"], lay["h"], cam0.width, cam0.height,
-                            lay["focal_host"], f2_host, rot_list,
-                            pos_list, lay["izmin_host"],
-                            lay["izmax_host"],
-                            step_px=cfg.rotated_step_px,
-                            num_planes=explicit_planes,
+                    continue
+                # rotated eye: the single-phase target-ray march first
+                # (march-exact yaw family), then the two-phase fallback
+                try:
+                    tplan, xlo_t, ylo_t = _sweep_target.plan_target(
+                        lay["w"], lay["h"], cam0.width, cam0.height,
+                        lay["focal_host"], f2_host, rot_list, pos_list,
+                        lay["izmin_host"], lay["izmax_host"],
+                    )
+                    grids_t, k_t = _sweep_target.target_plane_grids(
+                        rot_list, pos_list, lay["focal_host"], f2_host,
+                        cam0.width, cam0.height, lay["w"], lay["h"],
+                        lay["izmin_host"], lay["izmax_host"],
+                        step_px=cfg.target_step_px,
+                        num_planes=explicit_planes,
+                    )
+                    poses_t = np.stack([
+                        _sweep_target.target_pose_scalars(
+                            r, c, lay["focal_host"], f2_host,
+                            cam0.width, cam0.height, lay["w"], lay["h"],
                         )
-                    )
-                    grids_j = (
-                        jnp.zeros((len(cameras), 1), jnp.float32)
-                        if skip else jnp.asarray(grids)
-                    )
-                    modes.append("rotated")
+                        for r, c in zip(rot_list, pos_list)
+                    ])
+                    modes.append("target")
                     setups.append((
-                        (plan, wi, hi, max(k_l, 1), skip),
-                        grids_j,
-                        jnp.asarray(aligned, jnp.float32),
+                        (tplan, k_t),
+                        {
+                            "pose_sc": jnp.asarray(poses_t, jnp.float32),
+                            "grids": jnp.asarray(grids_t, jnp.float32),
+                            "xlo": jnp.asarray(xlo_t, jnp.int32),
+                            "ylo": jnp.asarray(ylo_t, jnp.int32),
+                        },
                     ))
+                    continue
+                except ValueError:
+                    pass
+                plan, wi, hi, aligned, grids, k_l, skip = (
+                    _rotated_march.plan_rotated(
+                        lay["w"], lay["h"], cam0.width, cam0.height,
+                        lay["focal_host"], f2_host, rot_list,
+                        pos_list, lay["izmin_host"],
+                        lay["izmax_host"],
+                        step_px=cfg.rotated_step_px,
+                        num_planes=explicit_planes,
+                    )
+                )
+                grids_j = (
+                    jnp.zeros((len(cameras), 1), jnp.float32)
+                    if skip else jnp.asarray(grids)
+                )
+                modes.append("rotated")
+                setups.append((
+                    (plan, wi, hi, max(k_l, 1), skip),
+                    {
+                        "grids": grids_j,
+                        "aligned": jnp.asarray(aligned, jnp.float32),
+                    },
+                ))
             except ValueError as e:
                 raise ValueError(
                     "render_stereo_fast: pose family outside the march "
@@ -1479,11 +1569,7 @@ def render_stereo_fast_batch(
                 focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
                 doff=doff,
                 **({"plane_invz": tab} if tab is not None else {}),
-                **(
-                    {"grids": s[1]} if s is not None and s[2] is None
-                    else {"grids": s[1], "aligned": s[2]}
-                    if s is not None else {}
-                ),
+                **(s[1] if s is not None else {}),
             )
             for i, (lay, tab, doff, s) in enumerate(zip(
                 prep["layers"][:num_layers], tables, doffs, setups
@@ -1553,7 +1639,7 @@ def _stereo_fast_core(
     over fixed-size pose chunks inside this one dispatch (per-pose
     tables split, textures loop-invariant)."""
     batch = c1l_b.shape[0]
-    _PP_KEYS = ("plane_invz", "grids", "aligned")
+    _PP_KEYS = ("plane_invz", "grids", "aligned", "pose_sc")
 
     def _split_layers(layers):
         pp = tuple(
@@ -1680,6 +1766,16 @@ def _stereo_chunk_body(
                 jnp.float32(fr), lay["grids"], zero_bg, splan, sk,
                 feathering=feathering, mask_mode=mask_mode,
                 to_srgb=False, refine=rot_refine, raw=True,
+            )
+        if mode == "target":
+            tplan, k_t = setup
+            return _sweep_target.render_target_fetch_batch(
+                lay["rgb"], lay["disp"], lay["mask"],
+                lay["izmin"], lay["izmax"],
+                lay["pose_sc"], lay["grids"], zero_bg,
+                tplan, lay["xlo"], lay["ylo"], k_t,
+                feathering=feathering, mask_mode=mask_mode,
+                to_srgb=False, raw=True,
             )
         if mode == "rotated":
             rplan, wi, hi, rk, skip = setup

@@ -9,31 +9,35 @@ PER-ELEMENT coefficients (the rotation homography):
     X(p, v) = AX(p) + v * DX(p)      (y-independent for yaw: the gate)
     Y(p, v) = AY(p) + v * DY(p)      (full 2-D field)
 
-Layout and mechanism (narrow bands keep the spans small):
-  * bands are _TW = 8 target columns; the within-band position spread
-    per plane (homography stretch + parallax gradient) is a few pixels,
-    so one plane's bilinear sample over the whole band is a short
-    hat-weight candidate sum over ABSOLUTE source columns.
-  * x-stage (source x on sublanes): 8-aligned dynamic slice of the
-    resident window + dynamic sublane roll (_TWX = 32 sublanes = 4
-    tiles — `tpu.dynamic_rotate` silently miscompiles on
+Layout (v2, grouped bands). Each program serves _G = 16 bands of
+_TW = 8 target columns — 128 output columns x 128 rows — so the
+transposed y-stage and ALL crossing state run at full 128-lane width
+(the v1 per-band layout used 8 of 128 lanes and measured 4.1 fps on
+the SFMoMA orbit; the group layout is the production shape).
+
+  * x-stage (source x on sublanes), per band: 8-aligned dynamic slice
+    of the resident window + dynamic sublane roll (_TWX = 32 sublanes
+    = 4 tiles — `tpu.dynamic_rotate` silently miscompiles on
     non-power-of-two tile counts on this toolchain, probed in
-    scratch/probe_roll3.py) + a class-switched hat sum -> xa(j, ysrc).
-  * y-stage: transpose xa so source y rides the sublane mechanism
-    (lane-axis dynamic shifts do not exist). The transposed slab is
-    parked in a power-of-two-height scratch, rolled by the plane's
-    window-relative y base, and candidate source rows SLIDE with the
-    target row (slaby[oy + i]) so the candidate count tracks only the
-    local y-slope deviation from 1. Weights are full (lc, tw) fields.
-  * crossing state lives in the TRANSPOSED (lc, tw) layout end to end;
-    the six output channels transpose back once per tile.
+    scratch/probe_roll3.py) + a class-switched DIAGONAL hat sum
+    (candidates ride the target column, slab[o + j], the scaled
+    kernel's slide — the candidate count tracks only the local
+    |scale - 1| deviation, not the band footprint). The 16 bands'
+    collapses land in one (128, ylen) scratch.
+  * one transpose per (plane, channel) moves the group slab to the
+    y-on-sublanes layout; the slab is rolled by the plane's GROUP-
+    SHARED y base and candidate source rows SLIDE with the target row
+    (slaby[o + i]). Weights are full (lc, 128) fields.
+  * crossing state lives in the TRANSPOSED (lc, 128) layout end to
+    end; the six output channels transpose back once per tile.
 
 Work avoidance mirrors the proven kernels (ops/pallas/sweep_march.py):
 texel-space pass 1, crossing-flagged pass 2 for colors, a conservative
-coarse-max skip table, bracket refresh after skip runs, early-out when
-every pixel crossed, and the pose axis innermost over one resident
-source window per (band, chunk) — the window origin tables are the
-POSE-BATCH UNION, so the window stays pose-invariant and is DMA'd once.
+group-span coarse-max skip table, bracket refresh after skip runs,
+early-out when every pixel crossed, and the pose axis innermost over
+one resident source window per (group, chunk) — the window origin
+tables are the POSE-BATCH UNION, so the window stays pose-invariant
+and is DMA'd once.
 """
 
 from __future__ import annotations
@@ -45,12 +49,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sweep_target import _LC, _TW, TargetPlan, finalize_target
+from ..sweep_target import _G, _LC, _TW, TargetPlan, finalize_target
 
 __all__ = ["render_target_batch_pallas"]
 
 _COARSE = 8  # skip-table cell width in source x
 _TWX = 32  # x-stage slab sublanes (4 tiles: dynamic roll safe)
+_GW = _G * _TW  # output columns per program (= lane width)
 
 
 def _round_up(n: int, q: int) -> int:
@@ -74,22 +79,23 @@ def _classes(nmax, start=2):
 
 
 def _kernel(
-    xlo,  # (nb,) i32 scalar prefetch: per-band window x origin (padded)
-    ylo,  # (nb, nc) i32: per-(band, chunk) window y origin (8-aligned)
-    cm3,  # (ncellx, nc) f32: sliding disp max per (x-cell, chunk window)
+    xlo,  # (ng,) i32 scalar prefetch: per-group window x origin (padded)
+    ylo,  # (ng, nc) i32: per-(group, chunk) window y origin (128-aligned)
+    cm3,  # (ncellx, nc) f32: sliding disp max over plan.gspan cells
     pose_ref,  # (1, 1, 16) SMEM pose scalars: p_ts row-major, c_vec
     vt_ref,  # (1, 2, K) SMEM: plane invz (desc) + texel thresholds
     src_hbm,  # (5, Wp, Hp) f32 ANY — r, g, b, mask, disp TRANSPOSED
-    out_ref,  # (1, 6, tw, lc) VMEM out block
+    out_ref,  # (1, 6, GW, lc) VMEM out block
     blk,  # (5, bw, ylen) f32 VMEM scratch: resident source window
-    tsp,  # (tsp_rows, tw) f32 VMEM scratch: transposed slab (pow2 rows)
-    pdiff,  # (lc, tw) f32 scratch — ALL state in TRANSPOSED layout
-    kstar,  # (lc, tw) f32
-    pdiffc,  # (lc, tw) f32
-    diffc,  # (lc, tw) f32
-    izout,  # (lc, tw) f32
-    cout,  # (4, lc, tw) f32
-    prgba,  # (4, lc, tw) f32
+    xa16,  # (GW, ylen) f32 VMEM scratch: group x-collapsed slab
+    tsp,  # (tsp_rows, GW) f32 VMEM scratch: transposed slab (pow2 rows)
+    pdiff,  # (lc, GW) f32 scratch — ALL state in TRANSPOSED layout
+    kstar,  # (lc, GW) f32
+    pdiffc,  # (lc, GW) f32
+    diffc,  # (lc, GW) f32
+    izout,  # (lc, GW) f32
+    cout,  # (4, lc, GW) f32
+    prgba,  # (4, lc, GW) f32
     crossflag,  # (K,) f32 SMEM
     lastk,  # (1, 1) i32 SMEM
     nfound,  # (1, 1) f32 SMEM
@@ -99,17 +105,18 @@ def _kernel(
     num_planes: int,
     refine: int,
     tsp_rows: int,
+    depth_only: bool = False,
 ):
-    tw, lc = _TW, _LC
+    tw, lc, gwd = _TW, _LC, _GW
     bw, ylen = plan.bw, plan.ylen
-    b = pl.program_id(0)
+    g = pl.program_id(0)
     c = pl.program_id(1)
     p = pl.program_id(2)
     cp = pltpu.make_async_copy(
         src_hbm.at[
             :,
-            pl.ds(pl.multiple_of(xlo[b], 8), bw),
-            pl.ds(pl.multiple_of(ylo[b, c], 128), ylen),
+            pl.ds(pl.multiple_of(xlo[g], 8), bw),
+            pl.ds(pl.multiple_of(ylo[g, c], 128), ylen),
         ],
         blk, sem,
     )
@@ -121,13 +128,15 @@ def _kernel(
     if tsp_rows > ylen:
         # rows beyond ylen are never written by the y-stage; zero them so
         # 0-weight candidates can't multiply uninitialized NaN patterns
-        tsp[ylen:tsp_rows, :] = jnp.zeros((tsp_rows - ylen, tw), jnp.float32)
-    pdiff[:] = jnp.zeros((lc, tw), jnp.float32)
-    kstar[:] = jnp.full((lc, tw), -1.0, jnp.float32)
-    pdiffc[:] = jnp.zeros((lc, tw), jnp.float32)
-    diffc[:] = jnp.full((lc, tw), -1.0, jnp.float32)
-    izout[:] = jnp.zeros((lc, tw), jnp.float32)
-    cout[:] = jnp.zeros((4, lc, tw), jnp.float32)
+        tsp[ylen:tsp_rows, :] = jnp.zeros(
+            (tsp_rows - ylen, gwd), jnp.float32
+        )
+    pdiff[:] = jnp.zeros((lc, gwd), jnp.float32)
+    kstar[:] = jnp.full((lc, gwd), -1.0, jnp.float32)
+    pdiffc[:] = jnp.zeros((lc, gwd), jnp.float32)
+    diffc[:] = jnp.full((lc, gwd), -1.0, jnp.float32)
+    izout[:] = jnp.zeros((lc, gwd), jnp.float32)
+    cout[:] = jnp.zeros((4, lc, gwd), jnp.float32)
     lastk[0, 0] = -1
     nfound[0, 0] = 0.0
 
@@ -143,7 +152,7 @@ def _kernel(
     w_out, h_out = float(plan.out_w), float(plan.out_h)
     w_src, h_src = float(plan.src_w), float(plan.src_h)
 
-    xg0 = (b * tw).astype(jnp.float32)
+    xg0 = (g * gwd).astype(jnp.float32)
     yg0 = (c * lc).astype(jnp.float32)
     syc = (yg0 + lc / 2.0 + 0.5) / h_out - 0.5  # chunk-center row
 
@@ -154,20 +163,26 @@ def _kernel(
             (p10 * sx + p11 * sy + p12) / den,
         )
 
-    xoff = (float(plan.pad_x) - xlo[b]).astype(jnp.float32)
-    yoff = (float(plan.pad_y) - ylo[b, c]).astype(jnp.float32)
+    xoff = (float(plan.pad_x) - xlo[g]).astype(jnp.float32)
+    yoff = (float(plan.pad_y) - ylo[g, c]).astype(jnp.float32)
 
-    # x fields, (tw, 1), window-relative
-    jv = jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0).astype(jnp.float32)
-    sxv = (xg0 + jv + 0.5) / w_out - 0.5
+    # x fields, (GW, 1), window-relative, DIAGONAL (minus the local
+    # sublane index): weight of slab row o + j for column j is
+    # hat((pos(j) - j) - bmin - o)
+    jv = jax.lax.broadcasted_iota(jnp.int32, (gwd, 1), 0)
+    jmod = (jv - (jv // tw) * tw).astype(jnp.float32)
+    jvf = jv.astype(jnp.float32)
+    sxv = (xg0 + jvf + 0.5) / w_out - 0.5
     qxv, _ = _qxy(sxv, syc)
-    axv = (qxv + 0.5) * w_src - 0.5 + xoff
+    adg = (qxv + 0.5) * w_src - 0.5 + xoff - jmod
     dxv = (cv0 - cv2 * qxv) * w_src
 
-    # y fields, TRANSPOSED (lc, tw), slide-relative (candidate rows ride
+    # y fields, TRANSPOSED (lc, GW), slide-relative (candidate rows ride
     # +i): relT = AY - i, window-relative
     ivT = jax.lax.broadcasted_iota(jnp.int32, (lc, 1), 0).astype(jnp.float32)
-    jvT = jax.lax.broadcasted_iota(jnp.int32, (lc, tw), 1).astype(jnp.float32)
+    jvT = jax.lax.broadcasted_iota(jnp.int32, (lc, gwd), 1).astype(
+        jnp.float32
+    )
     syT = (yg0 + ivT + 0.5) / h_out - 0.5
     sxT = (xg0 + jvT + 0.5) / w_out - 0.5
     _, qyT = _qxy(sxT, syT)
@@ -175,23 +190,39 @@ def _kernel(
     dyT = (cv1 - cv2 * qyT) * h_src
     relT = ayT - ivT
 
-    # scalar bounds for per-plane bases: band-end x (X monotone in j)
-    qx_lo, _ = _qxy((xg0 + 0.5) / w_out - 0.5, syc)
-    qx_hi, _ = _qxy((xg0 + tw - 1 + 0.5) / w_out - 0.5, syc)
-    ax_lo = (qx_lo + 0.5) * w_src - 0.5 + xoff
-    ax_hi = (qx_hi + 0.5) * w_src - 0.5 + xoff
-    dx_lo = (cv0 - cv2 * qx_lo) * w_src
-    dx_hi = (cv0 - cv2 * qx_hi) * w_src
+    # per-band diag-extreme scalars (j = 0 and j = tw - 1; the diag is a
+    # homography chord across 8 columns — interior curvature is far
+    # below the plan's +3 slack)
+    a0s, d0s, a7s, d7s = [], [], [], []
+    for gi in range(_G):
+        for jl in (0.0, float(tw - 1)):
+            sxe = (xg0 + gi * tw + jl + 0.5) / w_out - 0.5
+            qx_e, _ = _qxy(sxe, syc)
+            a_e = (qx_e + 0.5) * w_src - 0.5 + xoff - jl
+            d_e = (cv0 - cv2 * qx_e) * w_src
+            if jl == 0.0:
+                a0s.append(a_e)
+                d0s.append(d_e)
+            else:
+                a7s.append(a_e)
+                d7s.append(d_e)
+    # group x-extent scalars for the skip test (group edges: X monotone)
+    sx_gl = (xg0 + 0.5) / w_out - 0.5
+    sx_gr = (xg0 + gwd - 1 + 0.5) / w_out - 0.5
+    qx_gl, _ = _qxy(sx_gl, syc)
+    qx_gr, _ = _qxy(sx_gr, syc)
+    ax_gl = (qx_gl + 0.5) * w_src - 0.5 + xoff
+    ax_gr = (qx_gr + 0.5) * w_src - 0.5 + xoff
+    dx_gl = (cv0 - cv2 * qx_gl) * w_src
+    dx_gr = (cv0 - cv2 * qx_gr) * w_src
+
     # y corner scalars (slide-relative rel = AY - i, and DY) at the 4
-    # tile corners; per-plane bounds take min/max per TERM (conservative:
-    # rel and DY are each corner-extremal, their sum is bounded by the
-    # sum of bounds since v > 0)
+    # GROUP-tile corners; per-plane bounds take min/max per TERM
+    # (conservative: rel and DY are each corner-extremal, their sum is
+    # bounded by the sum of bounds since v > 0)
     y_last = jnp.minimum(yg0 + lc - 1, h_out - 1.0)
     r_cs, d_cs = [], []
-    for sxe_v in (
-        (xg0 + 0.5) / w_out - 0.5,
-        (xg0 + tw - 1 + 0.5) / w_out - 0.5,
-    ):
+    for sxe_v in (sx_gl, sx_gr):
         for yg in (yg0, y_last):
             sye = (yg + 0.5) / h_out - 0.5
             _, qy_c = _qxy(sxe_v, sye)
@@ -216,65 +247,73 @@ def _kernel(
         return idx
 
     def _bases(v):
-        """Per-plane scalar geometry: x slab base/residual/class and the
-        y slide base/class."""
-        pa = ax_lo + v * dx_lo
-        pb = ax_hi + v * dx_hi
-        xlo_s = jnp.clip(jnp.minimum(pa, pb), 0.0, float(bw - 2))
-        xhi_s = jnp.clip(jnp.maximum(pa, pb), 0.0, float(bw - 2))
-        bmin = jnp.floor(xlo_s).astype(jnp.int32)
-        span_x = (jnp.ceil(xhi_s).astype(jnp.int32) - bmin + 2).astype(
-            jnp.float32
-        )
-        o8 = pl.multiple_of(
-            jnp.clip((bmin // 8) * 8, 0, bw - _TWX), 8
-        )
-        rr = bmin - o8
+        """Per-plane scalar geometry: per-band slab bases/residuals, the
+        shared x class, and the group-shared y slide base/class."""
+        bmins, o8s, rrs = [], [], []
+        span_x = jnp.float32(0.0)
+        for gi in range(_G):
+            da = a0s[gi] + v * d0s[gi]
+            db = a7s[gi] + v * d7s[gi]
+            lo_s = jnp.clip(jnp.minimum(da, db), 0.0, float(bw - 2))
+            hi_s = jnp.clip(jnp.maximum(da, db), 0.0, float(bw - 2))
+            bm = jnp.floor(lo_s).astype(jnp.int32)
+            span_x = jnp.maximum(span_x, hi_s - lo_s)
+            o8 = pl.multiple_of(
+                jnp.clip((bm // 8) * 8, 0, bw - _TWX), 8
+            )
+            bmins.append(bm)
+            o8s.append(o8)
+            rrs.append(bm - o8)
         rlo = jnp.clip(r_min + v * d_min, 0.0, float(ylen - 2))
         rhi = jnp.clip(r_max + v * d_max, 0.0, float(ylen - 2))
         bym = jnp.floor(rlo).astype(jnp.int32)
         span_y = (jnp.ceil(rhi).astype(jnp.int32) - bym + 2).astype(
             jnp.float32
         )
-        return (
-            bmin, rr, o8, _cls_idx(span_x, xcls),
-            bym, _cls_idx(span_y, ycls),
-        )
+        ic_x = _cls_idx(span_x + 3.0, xcls)
+        return bmins, o8s, rrs, ic_x, bym, _cls_idx(span_y, ycls)
 
     def _warp(chans, v, bases):
         """Separable hat-collapse of window channels [lo, hi) at plane
-        invz v. Returns (hi-lo, lc, tw) TRANSPOSED values."""
-        bmin, rr, o8, ic_x, bym, ic_y = bases
+        invz v. Returns (hi-lo, lc, GW) TRANSPOSED values."""
+        bmins, o8s, rrs, ic_x, bym, ic_y = bases
         lo_c, hi_c = chans
-        xq = jnp.clip(
-            axv + v * dxv - bmin.astype(jnp.float32), -1.0, float(_TWX)
-        )  # (tw, 1)
         yq = jnp.clip(
             relT + v * dyT - bym.astype(jnp.float32), -1.0,
             float(tsp_rows - lc),
-        )  # (lc, tw)
+        )  # (lc, GW)
         outs = []
         for ch in range(lo_c, hi_c):
-            slab = blk[ch, pl.ds(o8, _TWX), :]  # (_TWX, ylen)
-            slab = pltpu.roll(slab, -rr, 0)  # 4 sublane tiles: safe
 
-            def _xbody(n, slab=slab):
+            def _xbody(n):
                 def body():
-                    xa = jnp.zeros((tw, ylen), jnp.float32)
-                    for o in range(n):
-                        w = jnp.maximum(0.0, 1.0 - jnp.abs(xq - float(o)))
-                        xa = xa + w * slab[o : o + 1, :]
-                    return xa
+                    for gi in range(_G):
+                        slab = blk[ch, pl.ds(o8s[gi], _TWX), :]
+                        slab = pltpu.roll(slab, -rrs[gi], 0)  # 4 tiles
+                        qxd = jnp.clip(
+                            adg[gi * tw : (gi + 1) * tw]
+                            + v * dxv[gi * tw : (gi + 1) * tw]
+                            - bmins[gi].astype(jnp.float32),
+                            -1.0, float(_TWX - tw),
+                        )  # (tw, 1)
+                        xa = jnp.zeros((tw, ylen), jnp.float32)
+                        for o in range(n):
+                            w = jnp.maximum(
+                                0.0, 1.0 - jnp.abs(qxd - float(o))
+                            )
+                            xa = xa + w * slab[o : o + tw, :]
+                        xa16[gi * tw : (gi + 1) * tw, :] = xa
+                    return 0
 
                 return body
 
-            xa = jax.lax.switch(ic_x, [_xbody(n) for n in xcls])
-            tsp[0:ylen, :] = xa.T
+            jax.lax.switch(ic_x, [_xbody(n) for n in xcls])
+            tsp[0:ylen, :] = xa16[:].T
             slaby = pltpu.roll(tsp[:], -bym, 0)  # pow2 rows: safe
 
             def _ybody(n, slaby=slaby):
                 def body():
-                    ya = jnp.zeros((lc, tw), jnp.float32)
+                    ya = jnp.zeros((lc, gwd), jnp.float32)
                     for o in range(n):
                         w = jnp.maximum(0.0, 1.0 - jnp.abs(yq - float(o)))
                         ya = ya + w * slaby[o : o + lc, :]
@@ -292,14 +331,22 @@ def _kernel(
         crossflag[k] = 0.0
         v = _tab(0, k)
         tk = _tab(1, k)
-        bases = _bases(v)
-        co = (xlo[b] + bases[2]) // _COARSE
+        # group-extent skip test: the coarse table's sliding span covers
+        # every slab the plane's bands can read from this minimum cell
+        gpa = ax_gl + v * dx_gl
+        gpb = ax_gr + v * dx_gr
+        gmin = jnp.clip(
+            jnp.minimum(gpa, gpb) - 16.0, 0.0, float(bw - _TWX)
+        ).astype(jnp.int32)
+        co = (xlo[g] + gmin) // _COARSE
         active = jnp.logical_and(
-            cm3[co, c] > tk, nfound[0, 0] < float(_TW * _LC)
+            cm3[co, c] > tk, nfound[0, 0] < float(_GW * _LC)
         )
 
         @pl.when(active)
         def _():
+            bases = _bases(v)
+
             # refresh the secant bracket if the previous plane was
             # skipped (results stay identical to the dense oracle)
             @pl.when(jnp.logical_and(lastk[0, 0] != k - 1, k > 0))
@@ -330,6 +377,30 @@ def _kernel(
     t = jnp.where(kstar[:] == 0.0, jnp.ones_like(t), t)
     lastk[0, 0] = -5
 
+    if depth_only:
+        # the fetch path: colors come from ONE exact bilinear gather at
+        # the solved position outside the kernel (sweep_target.
+        # render_target_fetch_batch) — skip the per-plane color warps
+        # entirely, but still write the secant-refined invz per pixel
+        def pass2d(k, _):
+            @pl.when(crossflag[k] > 0.0)
+            def _():
+                sel = kstar[:] == jnp.float32(k)
+                km1 = jnp.maximum(k - 1, 0)
+                izk = _tab(0, k)
+                prev_iz = _tab(0, km1)
+                iz_c = prev_iz + t * (izk - prev_iz)
+                izout[:] = jnp.where(sel, iz_c, izout[:])
+
+            return 0
+
+        jax.lax.fori_loop(0, num_planes, pass2d, 0)
+        out_ref[0, 5] = (kstar[:] > -0.5).astype(jnp.float32).T
+        out_ref[0, 4] = izout[:].T
+        for ch in range(4):
+            out_ref[0, ch] = cout[ch].T
+        return
+
     def pass2(k, _):
         @pl.when(crossflag[k] > 0.0)
         def _():
@@ -344,10 +415,10 @@ def _kernel(
                 # in-bracket mini-sweep at exactly-lerped invz
                 # (positions are affine in v: sub-plane warps are exact)
                 step = 1.0 / (refine + 1)
-                slo = jnp.zeros((lc, tw), jnp.float32)
+                slo = jnp.zeros((lc, gwd), jnp.float32)
                 pd2 = pdiffc[:]
                 d2 = diffc[:]
-                sfound = jnp.zeros((lc, tw), bool)
+                sfound = jnp.zeros((lc, gwd), bool)
                 prev_g = pdiffc[:]
                 prev_s = 0.0
                 thk = _tab(1, k)
@@ -355,15 +426,15 @@ def _kernel(
                 for j in range(1, refine + 1):
                     s = j * step
                     vs = prev_iz + s * (izk - prev_iz)
-                    g = _warp((4, 5), vs, _bases(vs))[0] - (
+                    g_ = _warp((4, 5), vs, _bases(vs))[0] - (
                         thk1 + s * (thk - thk1)
                     )
-                    csub = jnp.logical_and(~sfound, g > 0.0)
+                    csub = jnp.logical_and(~sfound, g_ > 0.0)
                     slo = jnp.where(csub, prev_s, slo)
                     pd2 = jnp.where(csub, prev_g, pd2)
-                    d2 = jnp.where(csub, g, d2)
+                    d2 = jnp.where(csub, g_, d2)
                     sfound = jnp.logical_or(sfound, csub)
-                    prev_g = g
+                    prev_g = g_
                     prev_s = s
                 slo = jnp.where(sfound, slo, prev_s)
                 pd2 = jnp.where(sfound, pd2, prev_g)
@@ -399,20 +470,21 @@ def _kernel(
 
 
 def _build_cm3(plan: TargetPlan, src_t, nc):
-    """Sliding disp max: cm3[cellx, c] bounds every texel a plane slab
-    based at 8-px source cell `cellx` can read while serving y-chunk c
-    (the chunk's full possible window-row range, conservatively the
-    chunk rows +- (ylen - _LC) drift)."""
+    """Sliding disp max: cm3[cellx, c] bounds every texel a plane can
+    read while serving y-chunk c, for any slab whose group-minimum base
+    lands in 8-px source cell `cellx` (sliding span = plan.gspan cells;
+    the y range is the exact union of the chunk's window table)."""
     wp, hp = src_t.shape[1], src_t.shape[2]
     ncellx = wp // _COARSE
-    cmax_cell = src_t[4].reshape(ncellx, _COARSE, hp).max(axis=1)
+    cmax_cell = src_t[-1].reshape(ncellx, _COARSE, hp).max(axis=1)
     ys = []
     for ci in range(nc):
-        lo = max(0, ci * _LC + plan.pad_y - (plan.ylen - _LC))
-        hi = min(hp, (ci + 1) * _LC + plan.pad_y + (plan.ylen - _LC))
+        lo, hi = plan.cm_ylims[ci]
+        lo = max(0, min(lo, hp))
+        hi = max(lo + 1, min(hi, hp))
         ys.append(cmax_cell[:, lo:hi].max(axis=1))
     cm2 = jnp.stack(ys, axis=1)  # (ncellx, nc)
-    span = _TWX // _COARSE + 1
+    span = plan.gspan
     xpad = jnp.pad(cm2, ((0, span - 1), (0, 0)), mode="edge")
     return jnp.stack(
         [xpad[i : i + ncellx] for i in range(span)], axis=0
@@ -421,12 +493,14 @@ def _build_cm3(plan: TargetPlan, src_t, nc):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "num_planes", "batch", "refine", "interpret"),
+    static_argnames=(
+        "plan", "num_planes", "batch", "refine", "interpret", "depth_only",
+    ),
 )
 def _sweep_target(
     src_t,  # (5, Wp, Hp) padded transposed stack
-    xlo,  # (nb,) i32
-    ylo,  # (nb, nc) i32
+    xlo,  # (ng,) i32
+    ylo,  # (ng, nc) i32
     pose_b,  # (B, 16) f32
     vt_b,  # (B, 2, K) f32
     plan: TargetPlan,
@@ -434,9 +508,10 @@ def _sweep_target(
     batch: int,
     refine: int = 0,
     interpret: bool = False,
+    depth_only: bool = False,
 ):
     w = plan.out_w
-    nb = w // _TW
+    ng = w // _GW
     hp = plan.hp_out
     nc = hp // _LC
     cm3 = _build_cm3(plan, src_t, nc)
@@ -444,33 +519,34 @@ def _sweep_target(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nb, nc, batch),
+        grid=(ng, nc, batch),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 16), lambda b, c, p, *_: (p, 0, 0),
+                (1, 1, 16), lambda g, c, p, *_: (p, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 2, vt_b.shape[2]), lambda b, c, p, *_: (p, 0, 0),
+                (1, 2, vt_b.shape[2]), lambda g, c, p, *_: (p, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 6, _TW, _LC),
-            lambda b, c, p, *_: (p, 0, b, c),
+            (1, 6, _GW, _LC),
+            lambda g, c, p, *_: (p, 0, g, c),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((5, plan.bw, plan.ylen), jnp.float32),
-            pltpu.VMEM((tsp_rows, _TW), jnp.float32),  # tsp
-            pltpu.VMEM((_LC, _TW), jnp.float32),  # pdiff
-            pltpu.VMEM((_LC, _TW), jnp.float32),  # kstar
-            pltpu.VMEM((_LC, _TW), jnp.float32),  # pdiffc
-            pltpu.VMEM((_LC, _TW), jnp.float32),  # diffc
-            pltpu.VMEM((_LC, _TW), jnp.float32),  # izout
-            pltpu.VMEM((4, _LC, _TW), jnp.float32),  # cout
-            pltpu.VMEM((4, _LC, _TW), jnp.float32),  # prgba
+            pltpu.VMEM((_GW, plan.ylen), jnp.float32),  # xa16
+            pltpu.VMEM((tsp_rows, _GW), jnp.float32),  # tsp
+            pltpu.VMEM((_LC, _GW), jnp.float32),  # pdiff
+            pltpu.VMEM((_LC, _GW), jnp.float32),  # kstar
+            pltpu.VMEM((_LC, _GW), jnp.float32),  # pdiffc
+            pltpu.VMEM((_LC, _GW), jnp.float32),  # diffc
+            pltpu.VMEM((_LC, _GW), jnp.float32),  # izout
+            pltpu.VMEM((4, _LC, _GW), jnp.float32),  # cout
+            pltpu.VMEM((4, _LC, _GW), jnp.float32),  # prgba
             pltpu.SMEM((num_planes,), jnp.float32),
             pltpu.SMEM((1, 1), jnp.int32),
             pltpu.SMEM((1, 1), jnp.float32),
@@ -479,7 +555,7 @@ def _sweep_target(
     )
     kernel = functools.partial(
         _kernel, plan=plan, num_planes=num_planes, refine=refine,
-        tsp_rows=tsp_rows,
+        tsp_rows=tsp_rows, depth_only=depth_only,
     )
     out = pl.pallas_call(
         kernel,
@@ -495,7 +571,7 @@ def _sweep_target(
     jax.jit,
     static_argnames=(
         "plan", "num_planes", "mask_mode", "to_srgb", "refine", "raw",
-        "interpret",
+        "interpret", "depth_only",
     ),
 )
 def render_target_batch_pallas(
@@ -508,8 +584,8 @@ def render_target_batch_pallas(
     plane_invz,  # (B, K) descending per-pose ladders
     background,
     plan: TargetPlan,
-    xlo,  # (nb,) i32 pose-union window origins (padded coords)
-    ylo,  # (nb, nc) i32
+    xlo,  # (ng,) i32 pose-union window origins (padded coords)
+    ylo,  # (ng, nc) i32
     num_planes: int,
     feathering: float = 0.1,
     mask_mode: str = "none",
@@ -517,9 +593,15 @@ def render_target_batch_pallas(
     refine: int = 0,
     raw: bool = False,
     interpret: bool = False,
+    depth_only: bool = False,
 ):
     """Batched target-ray march on TPU: ONE kernel launch for the whole
-    pose batch. Returns (B, out_h, out_w, 4) or raw tuples."""
+    pose batch. Returns (B, out_h, out_w, 4) or raw tuples.
+
+    depth_only=True skips the in-kernel color warps and returns
+    (found, invz_star) pre-finalize — the fetch path's input (refine is
+    then ignored; the fetch's exact bilinear color sample replaces the
+    bracket color lerp that refine would sharpen)."""
     h, w = disp.shape
     izmin = jnp.asarray(invz_min, jnp.float32)
     izmax = jnp.asarray(invz_max, jnp.float32)
@@ -550,8 +632,10 @@ def render_target_batch_pallas(
     found, rstar, rgba_star = _sweep_target(
         src_t, jnp.asarray(xlo, jnp.int32), jnp.asarray(ylo, jnp.int32),
         pose_b, vt_b, plan=plan, num_planes=num_planes, batch=batch,
-        refine=refine, interpret=interpret,
+        refine=refine, interpret=interpret, depth_only=depth_only,
     )
+    if depth_only:
+        return found, rstar
     return jax.vmap(
         lambda f, r, rg, ps: finalize_target(
             ps, f, jnp.where(f > 0.0, r, 0.0), rg,

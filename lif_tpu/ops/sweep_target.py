@@ -57,12 +57,22 @@ __all__ = [
     "plan_target",
     "target_pose_scalars",
     "target_plane_grids",
+    "render_target_batch",
+    "render_target_fetch_batch",
     "render_target_xla",
     "finalize_target",
 ]
 
 _LC = 128  # lane count: y-chunk height
 _TW = 8  # band width in target columns (sublanes per tile)
+_G = 16  # bands per kernel program: 16 * 8 = 128 output columns, so the
+# transposed y-stage and crossing state run at full 128-lane width
+# (the v1 per-band kernel used 8 of 128 lanes — measured 4.1 fps; the
+# grouped layout is the production shape)
+
+
+_COARSE_CELL = 8  # skip-table cell width in source px (kernel _COARSE)
+_TWX_CELLS = 4  # x-stage slab reach in cells (kernel _TWX // _COARSE)
 
 
 def _round_up(n: int, q: int) -> int:
@@ -72,11 +82,11 @@ def _round_up(n: int, q: int) -> int:
 class TargetPlan(NamedTuple):
     """Static geometry of the target-ray march (host ints; jit statics).
 
-    The padded source is transposed (C, Wp, Hp). Each (band, chunk)
-    program holds a (C, bw, ylen) window resident; per-(pose, band)
-    x-origins and per-(pose, band, chunk) y-origins come from SMEM
-    tables (the window position tracks the homography, unlike the
-    lateral kernel's uniform slide)."""
+    The padded source is transposed (C, Wp, Hp). Each (group, chunk)
+    program holds a (C, bw, ylen) window resident covering _G = 16
+    bands; per-group x-origins and per-(group, chunk) y-origins come
+    from scalar-prefetch tables (the window position tracks the
+    homography, unlike the lateral kernel's uniform slide)."""
 
     src_w: int
     src_h: int
@@ -86,9 +96,12 @@ class TargetPlan(NamedTuple):
     pad_y: int  # symmetric y padding
     bw: int  # resident window width (sublanes), multiple of 8
     ylen: int  # resident window height (lanes), multiple of 128
-    nxc: int  # max x hat candidates (static unroll cap)
+    nxc: int  # max x hat candidates (static unroll cap, diagonal slide)
     nyc: int  # max y hat candidates
     hp_out: int  # padded output height (lane grid)
+    gspan: int  # skip-table sliding span in 8-px source cells
+    cm_ylims: tuple  # per-chunk (lo, hi) padded-source row range the
+    # skip table must max over — exact bounds of the window table
 
 
 def _pose_fields_np(rot1, c1, f1, f2, out_w, out_h, src_w, src_h):
@@ -137,10 +150,15 @@ def target_plane_grids(rot_list, c1_list, f1, f2, out_w, out_h,
     """Per-pose inverse-depth ladders with one shared bucketed K.
 
     Plane density: at most `step_px` pixels of source-position change per
-    plane for ANY target pixel (max over the four image corners of
-    |DX|, |DY|). Padding planes continue ABOVE izmin (texel thresholds
-    > 1: never crossed, pruned by the skip test). Returns ((B, K) f32
-    descending, K)."""
+    plane for ANY target pixel, measured as the L1 path length |DX|+|DY|
+    over the four image corners — a diagonal sample path crosses texel
+    boundaries on BOTH axes, and each boundary is a kink in the
+    piecewise-linear bilinear read that the bracket secant cannot see
+    (measured: the per-axis-max bound leaves y-dominant poses at ~34 dB
+    on random textures where the L1 bound restores >=40; x-dominant
+    orbit poses have |DY| ~ 0 so their ladders are unchanged). Padding
+    planes continue ABOVE izmin (texel thresholds > 1: never crossed,
+    pruned by the skip test). Returns ((B, K) f32 descending, K)."""
     ks, dm = [], []
     for rot1, c1 in zip(rot_list, c1_list):
         p_ts, c_vec = _pose_fields_np(rot1, c1, f1, f2, out_w, out_h,
@@ -150,7 +168,7 @@ def target_plane_grids(rot_list, c1_list, f1, f2, out_w, out_h,
         qx, qy = _proj_np(p_ts, sx, sy)
         dx = np.abs(c_vec[0] - c_vec[2] * qx) * src_w
         dy = np.abs(c_vec[1] - c_vec[2] * qy) * src_h
-        dmax = max(dx.max(), dy.max())
+        dmax = float((dx + dy).max())
         dm.append(dmax)
         k = int(math.ceil(dmax * (izmin - izmax) / step_px)) + 2
         ks.append(min(max_planes, max(2, k)))
@@ -180,8 +198,8 @@ def plan_target(
     izmin: float,
     izmax: float,
     yaw_tol_px: float = 0.35,
-    nxc_cap: int = 22,
-    nyc_cap: int = 48,
+    nxc_cap: int = 14,
+    nyc_cap: int = 80,
     bw_cap: int = 2048,
 ):
     """Host plan: window extents and candidate caps for the pose batch.
@@ -191,22 +209,26 @@ def plan_target(
     beyond the caps, window wider than `bw_cap`) — the renderer falls
     back to the two-phase rotated path.
 
-    Returns (plan, xlo (B, nb) i32, ylo (B, nb, nc) i32) where xlo/ylo
-    are PADDED-source window origins per band / per (band, chunk)."""
-    if out_w % _TW:
-        raise ValueError(f"out_w {out_w} must be divisible by {_TW}")
+    Returns (plan, xlo (ng,) i32, ylo (ng, nc) i32) where xlo/ylo are
+    PADDED-source window origins per group / per (group, chunk), shared
+    across the pose batch (the window is DMA'd once per (group, chunk)
+    and reused pose-innermost)."""
+    gw = _G * _TW
+    if out_w % gw:
+        raise ValueError(f"out_w {out_w} must be divisible by {gw}")
     nb = out_w // _TW
+    ng = out_w // gw
     hp_out = _round_up(out_h, _LC)
     nc = hp_out // _LC
     b_n = len(rot_list)
-    r = izmin - izmax
 
-    xlo_all = np.zeros((b_n, nb), np.int64)
-    ylo_all = np.zeros((b_n, nb, nc), np.int64)
-    xhi_all = np.zeros((b_n, nb), np.int64)
-    yhi_all = np.zeros((b_n, nb, nc), np.int64)
+    xlo_all = np.zeros((b_n, ng), np.int64)
+    ylo_all = np.zeros((b_n, ng, nc), np.int64)
+    xhi_all = np.zeros((b_n, ng), np.int64)
+    yhi_all = np.zeros((b_n, ng, nc), np.int64)
     nx_need = 0
     ny_need = 0
+    gspan_px = 0
 
     for bi, (rot1, c1) in enumerate(zip(rot_list, c1_list)):
         p_ts, c_vec = _pose_fields_np(rot1, c1, f1, f2, out_w, out_h,
@@ -225,50 +247,51 @@ def plan_target(
                     f"(max {float((dxv + dvx).max()):.2f} px > "
                     f"{yaw_tol_px}); not a yaw-family pose"
                 )
-        # band x extents: X(j, v) = AX + v DX, monotone in j; v in
+        # band-edge positions: X(j, v) = AX + v DX, monotone in j; v in
         # {izmax, izmin} covers the v range (affine in v)
         qx_e, _ = _proj_np(p_ts, sxg, 0.0)
         ax_e = (qx_e + 0.5) * src_w - 0.5
         dx_e = (c_vec[0] - c_vec[2] * qx_e) * src_w
-        x_lo = np.minimum.reduce(
-            [ax_e + izmax * dx_e, ax_e + izmin * dx_e]
-        )
-        x_hi = np.maximum.reduce(
-            [ax_e + izmax * dx_e, ax_e + izmin * dx_e]
-        )
-        xlo_all[bi] = np.floor(np.minimum(x_lo[:-1], x_lo[1:])).astype(
-            np.int64) - 2
-        xhi_all[bi] = np.ceil(np.maximum(x_hi[:-1], x_hi[1:])).astype(
-            np.int64) + 2
-        # per-band x candidate need: the kernel's candidates are ABSOLUTE
-        # source columns from a per-plane scalar base (no slide with j),
-        # so the span includes the band's own width in source space
-        # (~_TW * scale) plus the homography stretch
+        # per-band x candidate need, DIAGONAL: candidates ride the
+        # target column (slab[o + j], the scaled kernel's slide), so the
+        # span is the deviation of (pos(j) - j) across a band — the
+        # band's footprint only enters through |scale - 1|
+        for v in (izmax, izmin):
+            diag = ax_e + v * dx_e - jg
+            span_b = np.abs(diag[1:] - diag[:-1])
+            nx_need = max(nx_need, int(np.ceil(span_b.max())) + 3)
+        # group x extents and skip-table span (group edges: X monotone)
+        ge = np.arange(0, nb + 1, _G)  # group edge indices into ax_e
+        gl_b = np.full(ng, np.inf)
+        gh_b = np.full(ng, -np.inf)
         for v in (izmax, izmin):
             pos = ax_e + v * dx_e
-            span_b = np.abs(pos[1:] - pos[:-1])
-            nx_need = max(nx_need, int(np.ceil(span_b.max())) + 3)
-        # per (band, chunk) y extents from the 4 cell corners (AY - i and
-        # DY are each corner-extremal in (x, y); bounding the sum by the
-        # sum of corner bounds is conservative)
+            gl = np.minimum(pos[ge[:-1]], pos[ge[1:]])
+            gh = np.maximum(pos[ge[:-1]], pos[ge[1:]])
+            gl_b = np.minimum(gl_b, gl)
+            gh_b = np.maximum(gh_b, gh)
+            gspan_px = max(gspan_px, int(np.ceil((gh - gl).max())))
+        xlo_all[bi] = np.floor(gl_b).astype(np.int64) - 2
+        xhi_all[bi] = np.ceil(gh_b).astype(np.int64) + 2
+        # per (group, chunk) y extents from the 4 tile corners (AY - i
+        # and DY are each corner-extremal in (x, y) — qy is a Möbius map
+        # in each variable; the kernel bounds the per-plane span by the
+        # sum of corner bounds (rlo = r_min + v*d_min), so the plan
+        # budgets exactly that decomposition)
         ig = np.minimum(np.arange(nc + 1) * _LC, out_h).astype(np.float64)
-        bx_l = sxg[:-1]
-        bx_r = sxg[1:]
+        gx_l = sxg[ge[:-1]]
+        gx_r = sxg[ge[1:]]
         for ci in range(nc):
             rows = np.array([ig[ci], max(ig[ci], min(ig[ci + 1], out_h)
                                          - 1.0)])
             sy_c = (rows + 0.5) / out_h - 0.5
-            # corner extremes of rel (= AY - local row) and DY separately
-            # — the kernel bounds the per-plane span by the sum of corner
-            # bounds (rlo = r_min + v*d_min), so the plan must budget for
-            # exactly that decomposition, per v (bym re-bases per plane)
-            a_lo = np.full(nb, np.inf)
-            a_hi = np.full(nb, -np.inf)
-            d_lo = np.full(nb, np.inf)
-            d_hi = np.full(nb, -np.inf)
-            abs_lo = np.full(nb, np.inf)
-            abs_hi = np.full(nb, -np.inf)
-            for sxe in (bx_l, bx_r):
+            a_lo = np.full(ng, np.inf)
+            a_hi = np.full(ng, -np.inf)
+            d_lo = np.full(ng, np.inf)
+            d_hi = np.full(ng, -np.inf)
+            abs_lo = np.full(ng, np.inf)
+            abs_hi = np.full(ng, -np.inf)
+            for sxe in (gx_l, gx_r):
                 for rw, sye in zip(rows, sy_c):
                     _, qy_c = _proj_np(p_ts, sxe, sye)
                     ay_c = (qy_c + 0.5) * src_h - 0.5
@@ -292,11 +315,10 @@ def plan_target(
     if ny_need > nyc_cap:
         raise ValueError(f"y candidate span {ny_need} > cap {nyc_cap}")
 
-    # share windows across the pose batch (the kernel's resident window
-    # is DMA'd once per (band, chunk) and reused pose-innermost)
-    xlo_sh = xlo_all.min(axis=0)  # (nb,)
+    # share windows across the pose batch
+    xlo_sh = xlo_all.min(axis=0)  # (ng,)
     xhi_sh = xhi_all.max(axis=0)
-    ylo_sh = ylo_all.min(axis=0)  # (nb, nc)
+    ylo_sh = ylo_all.min(axis=0)  # (ng, nc)
     yhi_sh = yhi_all.max(axis=0)
 
     # bw covers the extent plus the slab reach (o8 never clips: the
@@ -305,10 +327,27 @@ def plan_target(
     bw = _round_up(bw_need, 8)
     if bw > bw_cap:
         raise ValueError(f"window width {bw} > cap {bw_cap}")
+    # skip-table sliding span in 8-px cells: a plane's slabs reach at
+    # most gspan_px + _TWX + 8 source px from the group's per-plane
+    # minimum base cell
+    gspan = gspan_px // _COARSE_CELL + _TWX_CELLS + 3
     # DMA lane offsets must be 128-aligned: origins floor to 128, so the
     # window height carries up to 127 rows of slack on top of the span
     ylen_need = int((yhi_sh - ylo_sh).max()) + ny_need + 8 + 128
     ylen = _round_up(max(ylen_need, 2 * _LC), _LC)
+    # VMEM budget: the resident window (5 channels) plus the xa16 slab
+    # (GW x ylen) and fixed state must fit a 16 MB core. A pose batch
+    # whose union window exceeds it must fall back (two-phase tier)
+    # rather than fail at compile.
+    tsp_rows = _LC
+    while tsp_rows < ylen:
+        tsp_rows *= 2
+    vmem_bytes = (5 * bw * ylen + _G * _TW * (ylen + tsp_rows)) * 4
+    if vmem_bytes > 13 * 1024 * 1024:
+        raise ValueError(
+            f"pose-union window needs {vmem_bytes / 1e6:.1f} MB VMEM "
+            "(> 13 MiB budget); split the pose batch or fall back"
+        )
 
     # padded-source origins (before alignment)
     pad_x = max(0, int(-xlo_sh.min()), int((xlo_sh + bw).max()) - src_w)
@@ -328,10 +367,15 @@ def plan_target(
     assert int((ylo_pad + ylen).max()) <= hp_src, (ylo_pad.max(), ylen,
                                                   hp_src)
 
+    cm_ylims = tuple(
+        (int(ylo_pad[:, c].min()), int(ylo_pad[:, c].max()) + ylen)
+        for c in range(nc)
+    )
     plan = TargetPlan(
         src_w=src_w, src_h=src_h, out_w=out_w, out_h=out_h,
         pad_x=pad_x, pad_y=pad_y, bw=bw, ylen=ylen,
-        nxc=nx_need, nyc=ny_need, hp_out=hp_out,
+        nxc=nx_need, nyc=ny_need, hp_out=hp_out, gspan=gspan,
+        cm_ylims=cm_ylims,
     )
     assert xlo_pad.min() >= 0 and ylo_pad.min() >= 0
     assert int((xlo_pad + bw).max()) <= src_w + 2 * pad_x + 8
@@ -340,6 +384,127 @@ def plan_target(
         xlo_pad.astype(np.int32),
         ylo_pad.astype(np.int32),
     )
+
+
+def render_target_batch(
+    rgb,
+    disp,
+    mask,
+    invz_min,
+    invz_max,
+    pose_b,  # (B, 16) target_pose_scalars rows
+    plane_invz,  # (B, K) descending per-pose ladders
+    background,
+    plan: "TargetPlan",
+    xlo,  # (ng,) i32 pose-union window origins
+    ylo,  # (ng, nc) i32
+    num_planes: int,
+    feathering: float = 0.1,
+    mask_mode: str = "none",
+    to_srgb: bool = True,
+    refine: int = 0,
+    raw: bool = False,
+):
+    """Backend dispatch: Pallas target-ray kernel on TPU, the dense XLA
+    twin elsewhere (same math; the window tables are unused there).
+    Returns (B, out_h, out_w, 4), or per-pose raw tuples."""
+    if jax.default_backend() == "cpu":
+        # the XLA twin has no in-bracket refine; refine=0 is the
+        # production setting (sub-bracket search lowers PSNR, see
+        # RenderConfig.march_refine) so the twin matches it exactly
+        return jax.vmap(
+            lambda ps, pv: render_target_xla(
+                rgb, disp, mask, invz_min, invz_max, ps, pv, background,
+                num_planes, plan.out_w, plan.out_h,
+                feathering=feathering, mask_mode=mask_mode,
+                to_srgb=to_srgb, raw=raw,
+            )
+        )(jnp.asarray(pose_b, jnp.float32),
+          jnp.asarray(plane_invz, jnp.float32))
+    from .pallas.sweep_target import render_target_batch_pallas
+
+    return render_target_batch_pallas(
+        rgb, disp, mask, invz_min, invz_max, pose_b, plane_invz,
+        background, plan, xlo, ylo, num_planes, feathering=feathering,
+        mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "num_planes", "mask_mode", "to_srgb", "raw",
+    ),
+)
+def render_target_fetch_batch(
+    rgb,
+    disp,
+    mask,
+    invz_min,
+    invz_max,
+    pose_b,  # (B, 16)
+    plane_invz,  # (B, K)
+    background,
+    plan: "TargetPlan",
+    xlo,
+    ylo,
+    num_planes: int,
+    feathering: float = 0.1,
+    mask_mode: str = "none",
+    to_srgb: bool = True,
+    raw: bool = False,
+):
+    """PRODUCTION target tier: depth-only target-ray march + ONE exact
+    packed bilinear color gather at the secant-solved position.
+
+    The in-kernel color pass lerps the two bracketing planes' samples,
+    which is only approximate off the snap grid (per-pixel sampling
+    phases) — measured +7..13 dB from fetching instead (39.3 -> 46.1 dB
+    on the y-dominant random-scene golden; same construction as
+    ops/sweep_scaled.render_scaled_fetch_batch and the two-phase Phase
+    B). Also faster: pass 2's 4-channel warps per crossed plane drop to
+    one ~4x-cheaper packed-row gather. Returns (B, out_h, out_w, 4) or
+    raw (rgba, alpha, hit, invz) tuples."""
+    from .sampling import bilinear_sample_packed, pack_rgbm
+
+    h, w = disp.shape
+    izmin = jnp.asarray(invz_min, jnp.float32)
+    izmax = jnp.asarray(invz_max, jnp.float32)
+    pose_b = jnp.asarray(pose_b, jnp.float32)
+    if jax.default_backend() == "cpu":
+        found_b, vstar_b = jax.vmap(
+            lambda ps, pv: render_target_xla(
+                rgb, disp, mask, invz_min, invz_max, ps, pv, background,
+                num_planes, plan.out_w, plan.out_h, depth_only=True,
+            )
+        )(pose_b, jnp.asarray(plane_invz, jnp.float32))
+    else:
+        from .pallas.sweep_target import render_target_batch_pallas
+
+        found_b, rstar_b = render_target_batch_pallas(
+            rgb, disp, mask, invz_min, invz_max, pose_b, plane_invz,
+            background, plan, xlo, ylo, num_planes, depth_only=True,
+        )
+        vstar_b = jnp.where(found_b > 0.0, rstar_b, 0.0)
+
+    packed = pack_rgbm(
+        jnp.asarray(rgb, jnp.float32), jnp.asarray(mask, jnp.float32)
+    )
+
+    def _one(ps, found, vstar):
+        ax, dxf, ay, dyf, _, _ = _fields(ps, plan.out_w, plan.out_h, w, h)
+        v = jnp.clip(vstar, izmax, izmin)
+        u1 = (ax + v * dxf + 0.5) / w
+        v1 = (ay + v * dyf + 0.5) / h
+        rgba = bilinear_sample_packed(packed, u1, v1, w, h)
+        return finalize_target(
+            ps, found, vstar, rgba,
+            jnp.asarray(background, jnp.float32), izmin, izmax,
+            plan.out_w, plan.out_h, w, h, feathering, mask_mode,
+            to_srgb, raw,
+        )
+
+    return jax.vmap(_one)(pose_b, found_b, vstar_b)
 
 
 # ---------------------------------------------------------------------------
@@ -383,6 +548,7 @@ def _bil(img, px, py):
     jax.jit,
     static_argnames=(
         "num_planes", "out_w", "out_h", "mask_mode", "to_srgb", "raw",
+        "depth_only",
     ),
 )
 def render_target_xla(
@@ -401,11 +567,15 @@ def render_target_xla(
     mask_mode: str = "none",
     to_srgb: bool = True,
     raw: bool = False,
+    depth_only: bool = False,
 ):
     """Dense XLA twin of the target-ray march kernel (one pose). The
     golden oracle for kernel tests and the CPU-backend fallback at small
     sizes; semantics identical (texel-space pass 1, bracket secant,
-    bracket color lerp with k* == 0 snapping to t = 1)."""
+    bracket color lerp with k* == 0 snapping to t = 1).
+
+    depth_only=True returns (found (H,W) f32, invz_star (H,W)) with no
+    color pass and no finalize — the fetch path's input."""
     h, w = disp.shape
     izmin = jnp.asarray(invz_min, jnp.float32)
     izmax = jnp.asarray(invz_max, jnp.float32)
@@ -445,6 +615,11 @@ def render_target_xla(
     v0 = vg[km1]
     v1 = vg[kc]
     vstar = v0 + t * (v1 - v0)
+    if depth_only:
+        return (
+            found.astype(jnp.float32),
+            jnp.where(found, vstar, 0.0),
+        )
 
     # bracket color lerp at the bracketing planes' positions
     rgbm = jnp.concatenate(
