@@ -128,22 +128,18 @@ def main():
     }
     print("config0:", results["config0_fixed_novel_view"], flush=True)
 
-    # ---- config 1: 120-frame orbit, two-phase rotated march ----
+    # ---- config 1: 120-frame orbit, ONE pose-chunked dispatch ----
     orbit_poses = [
         orbit_pose(result.orbit_center, 1.0, theta=np.deg2rad(t))
         for t in np.linspace(-15, 15, 120)
     ]
     cams = [cam_at(p, r) for p, r in orbit_poses]
-    chunk = 24
 
     def orbit_pass():
-        acc = []
-        for lo in range(0, len(cams), chunk):
-            out = render_fast_batch(proj, cams[lo : lo + chunk])
-            acc.append(jnp.sum(out))
-        _sync(jnp.stack(acc))
+        _sync(render_fast_batch(proj, cams))
 
-    orbit_pass()  # compile all chunks
+    _, tiers = render_fast_batch(proj, cams, return_tiers=True)
+    orbit_pass()  # compile
     fps_orbit = _median_rate(orbit_pass, len(cams), reps=3)
     # fidelity at three representative orbit poses (edge, mid, center)
     qs = []
@@ -154,11 +150,10 @@ def main():
         "frames": 120,
         "batched_fps": round(fps_orbit, 1),
         "ms_per_frame": round(1000.0 / fps_orbit, 1),
-        "chunk": chunk,
+        "dispatches": 1,
         "psnr_vs_converged_dB": round(float(np.min(qs)), 2),
         "psnr_per_pose_dB": [round(float(q), 2) for q in qs],
-        "path": "two-phase rotated march (Pallas scaled depth solve + "
-                "edge-aware homography fetch + exact color fetch)",
+        "path": f"tier actually routed: {list(tiers)}",
         "statistic": "median of 3 passes",
     }
     print("config1:", results["config1_orbit_120"], flush=True)

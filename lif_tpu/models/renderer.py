@@ -771,8 +771,14 @@ def render_fast_batch(
     mask_mode: str | None = None,
     refine: int | None = None,
     config: RenderConfig | None = None,
+    return_tiers: bool = False,
 ):
     """Render MANY novel views in ONE device dispatch. Returns (B, H, W, 4).
+
+    return_tiers=True returns (images, tiers) where tiers is the
+    per-layer dispatch tier actually chosen ('march' | 'scaled' |
+    'target' | 'rotated' | 'sweep') — observability for benchmarks and
+    debugging, no effect on the render.
 
     The per-dispatch wall overhead through the host->TPU relay (~50 ms,
     non-pipelining; docs/TPU_NOTES.md) dominates single-frame rendering;
@@ -1051,7 +1057,8 @@ def render_fast_batch(
         jnp.float32(f2_host),
         jnp.asarray(background, jnp.float32),
     )
-    return out[:, :, : cam0.width, :] if wpad else out
+    out = out[:, :, : cam0.width, :] if wpad else out
+    return (out, tuple(modes)) if return_tiers else out
 
 
 _FAST_BATCH_CORE_CACHE: dict = {}
