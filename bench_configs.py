@@ -236,13 +236,22 @@ def main():
     print("config3:", results["config3_ldi_3layer"], flush=True)
 
     # ---- config 4: 4-projector fused compositing at 3840x2160 ----
+    # COHERENT multi-view content: each projector's rgb/depth is
+    # synthesized at its own pose from the base view (like config 2's
+    # stereo pair) — position-replicated copies of one texture describe
+    # four different scenes and make the fusion merge ill-posed
+    from lif_tpu import synthesize_projector
+
     W4, H4 = 3840, 2160
     scale = W4 / W
-    base4 = resample_projector(result.projectors[0], scale, out_w=W4, out_h=H4)
-    projs4 = [
-        base4.replace(position=np.asarray([0.02 * i, 0.0, 0.0], np.float32))
-        .to_device()
+    synths = [
+        synthesize_projector(result.projectors[0],
+                             [0.02 * i, 0.0, 0.0])
         for i in range(4)
+    ]
+    projs4 = [
+        resample_projector(s, scale, out_w=W4, out_h=H4).to_device()
+        for s in synths
     ]
     focal4 = float(projs4[0].focal[0])
     n = 4
@@ -263,15 +272,20 @@ def main():
     # sharded oracle needs a 4-device view mesh; this rig has one TPU).
     # The merge math is resolution-independent, so 1280x800 fidelity
     # stands in for the 4K throughput config.
-    projs1k = [
-        result.projectors[0]
-        .replace(position=np.asarray([0.02 * i, 0.0, 0.0], np.float32))
-        .to_device()
-        for i in range(4)
-    ]
+    projs1k = [s.to_device() for s in synths]
     cam1k = cam_at([0.05, 0.0, 0.0])
     fast_fused = np.asarray(render_fused_fast_batch(projs1k, [cam1k])[0])
     np.save("/tmp/fastfused.npy", fast_fused)
+    # the oracle subprocess (bench_scaling.py) must fuse the SAME
+    # coherent projector content
+    np.savez("/tmp/fastfused_projs.npz",
+             rgb=np.stack([np.asarray(s.rgb[0]) for s in synths]),
+             disp=np.stack([np.asarray(s.disp[0]) for s in synths]),
+             positions=np.stack([np.asarray(s.position) for s in synths]),
+             focal=float(synths[0].focal[0]),
+             izmin=float(synths[0].invz_min[0]),
+             izmax=float(synths[0].invz_max[0]),
+             baseline=float(synths[0].baseline))
     results["config4_multi_projector_4k"] = {
         "projectors": 4,
         "resolution": f"{W4}x{H4}",

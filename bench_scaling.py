@@ -95,12 +95,32 @@ def main():
     fast_path = "/tmp/fastfused.npy"
     if os.path.exists(fast_path):
         fast_fused = np.load(fast_path)
-        projs = [
-            proj.replace(
-                position=np.asarray([0.02 * i, 0.0, 0.0], np.float32)
-            )
-            for i in range(4)
-        ]
+        # the same COHERENT synthesized projectors the fast pass fused
+        # (bench_configs.py writes them; falls back to the base view
+        # replicated if absent)
+        synth_path = "/tmp/fastfused_projs.npz"
+        if os.path.exists(synth_path):
+            from lif_tpu import projector_from_arrays
+
+            z = np.load(synth_path)
+            projs = [
+                projector_from_arrays(
+                    z["rgb"][i], z["disp"][i],
+                    focal_px=float(z["focal"]),
+                    invz_min=float(z["izmin"]),
+                    invz_max=float(z["izmax"]),
+                    baseline=float(z["baseline"]),
+                    position=z["positions"][i],
+                )
+                for i in range(z["rgb"].shape[0])
+            ]
+        else:
+            projs = [
+                proj.replace(
+                    position=np.asarray([0.02 * i, 0.0, 0.0], np.float32)
+                )
+                for i in range(4)
+            ]
         cam1k = Camera.create(1280, 800, focal_px=focal,
                               position=[0.05, 0.0, 0.0])
         mesh4 = sharding.make_mesh(("view",), shape=(4,),

@@ -28,6 +28,7 @@ from .models.api import (  # noqa: F401
     LifLoader,
     LoadLifFileResult,
     load_lif_file,
+    synthesize_projector,
 )
 from .models.projector import (  # noqa: F401
     Projector,

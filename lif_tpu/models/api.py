@@ -14,7 +14,7 @@ from ..io import container as _container
 from ..io import schema as _schema
 from .projector import Projector, projector_from_lif_view
 
-__all__ = ["LifLoader", "LoadLifFileResult", "load_lif_file", "orbit_center_from_stereo_data"]
+__all__ = ["LifLoader", "LoadLifFileResult", "load_lif_file", "orbit_center_from_stereo_data", "synthesize_projector"]
 
 
 class LifLoader:
@@ -131,4 +131,47 @@ def load_lif_file(source) -> LoadLifFileResult:
         orbit_center=orbit_center,
         stereo_render_data=stereo,
         baseline_meters=baseline_meters,
+    )
+
+
+def synthesize_projector(projector, position, config=None):
+    """Author a geometrically CONSISTENT projector at a new pose: render
+    the base projector's novel view and solved depth at ``position`` and
+    wrap them as a single-layer Projector there.
+
+    This is the right way to build a multi-view set from one mono view —
+    `projector.replace(position=...)` keeps the same texture at a new
+    pose, which describes a DIFFERENT scene (the surface moves with the
+    projector); a fused or stereo render of such copies ghosts by the
+    position separation (see examples/multiview_demo.build_stereo_lif,
+    which uses this construction for the synthesized right eye, and
+    tests/test_fusion.py::test_fused_same_scene_is_well_conditioned).
+
+    Lateral positions only (the depth solver's march reduction). The
+    new projector inherits layer 0's focal, invz range and baseline.
+    """
+    import numpy as np
+
+    from ..core.camera import Camera
+    from .projector import projector_from_arrays
+    from .renderer import render_depth_fast, render_fast_view
+
+    izmin = float(projector.invz_min[0])
+    izmax = float(projector.invz_max[0])
+    cam = Camera.create(
+        projector.width, projector.height,
+        focal_px=float(projector.focal[0]), position=position,
+    )
+    rgb = np.asarray(
+        render_fast_view(projector, cam, to_srgb=False, mask_mode="none",
+                         config=config)
+    )[..., :3]
+    invz = np.asarray(render_depth_fast(projector, cam, config=config))
+    disp = np.clip((invz - izmax) / (izmin - izmax), 0.0, 1.0)
+    return projector_from_arrays(
+        rgb, disp.astype(np.float32),
+        focal_px=float(projector.focal[0]),
+        invz_min=izmin, invz_max=izmax,
+        baseline=float(projector.baseline),
+        position=position,
     )

@@ -2044,8 +2044,10 @@ def render_fused_fast_batch(
     Per projector: every LDI layer is marched (batched raw), composited
     front-to-back with the reference mask semantics, and the frontmost
     hit's ABSOLUTE inverse depth (invz/baseline, comparable across
-    projectors) is tracked. Across projectors: nearest frontmost surface
-    wins; exact ties are averaged. The reference renders only the first
+    projectors) is tracked. Across projectors: candidates within
+    config.fuse_tol relative inverse depth of the frontmost surface
+    blend with triangular weights (_fusion_weights; fuse_tol=0 gives
+    hard nearest-wins with exact ties averaged). The reference renders only the first
     projector (HoloRenderer.ts:186-189) — fusion is this framework's
     extension, spec'd identically in both the sharded and single-chip
     paths (cross-checked in tests/test_fusion.py).
@@ -2150,6 +2152,7 @@ def render_fused_fast_batch(
         modes=tuple(all_modes),
         feathering=float(feathering),
         to_srgb=to_srgb,
+        fuse_tol=float(cfg.fuse_tol),
     )
     return core(
         tuple(all_args), tuple(c1s),
@@ -2174,10 +2177,11 @@ def _fused_fast_core(
     modes,
     feathering,
     to_srgb,
+    fuse_tol,
 ):
     """Traced body of render_fused_fast_batch: per-projector LDI
-    composite on the batched march (raw), then the
-    nearest-frontmost-surface merge. All images are (B, H, W, ...).
+    composite on the batched march (raw), then the tolerance-blended
+    nearest-surface merge (_fusion_weights). All images are (B, H, W, ...).
 
     The march's invz_star is ALREADY absolute inverse depth in 1/m
     (layer izmin/izmax were divided by baseline in _prepared_fast, and
@@ -2224,15 +2228,33 @@ def _fused_fast_core(
     hit = a_s > 0.0
     key = jnp.where(hit, front_s, -jnp.inf)
     best = jnp.max(key, axis=0)
-    winner = hit & (key >= best)
-    count = jnp.maximum(jnp.sum(winner.astype(jnp.float32), axis=0), 1.0)
-    color = jnp.sum(jnp.where(winner[..., None], rgb_s, 0.0), axis=0)
-    alpha = jnp.sum(jnp.where(winner, a_s, 0.0), axis=0)
-    color = color / count[..., None]
-    alpha = alpha / count
+    w = _fusion_weights(key, best, hit, fuse_tol)
+    wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-12)
+    color = jnp.sum(w[..., None] * rgb_s, axis=0) / wsum[..., None]
+    alpha = jnp.sum(w * a_s, axis=0) / wsum
+    alpha = jnp.where(jnp.isfinite(best), alpha, 0.0)
     return _composite.finish_over_background(
         color, alpha, background, to_srgb
     )
+
+
+def _fusion_weights(key, best, hit, tol: float):
+    """Per-candidate merge weights for multi-projector fusion.
+
+    Triangular in relative inverse-depth distance from the frontmost:
+    w = 1 at key == best, 0 at key <= best*(1 - tol); non-hit
+    candidates weigh 0. tol <= 0 recovers the hard nearest-wins merge
+    (exact ties weigh 1 each, preserving the tie-average spec). Shared
+    by the single-chip and shard_map fusion paths so the merge spec
+    stays identical (tests/test_fusion.py cross-checks)."""
+    if tol <= 0.0:
+        return (hit & (key >= best)).astype(jnp.float32)
+    edge = jnp.abs(best) * tol
+    gap = best - key  # >= 0; +inf for non-hit
+    w = 1.0 - gap / jnp.maximum(edge, 1e-30)
+    w = jnp.where(jnp.isfinite(key), jnp.clip(w, 0.0, 1.0), 0.0)
+    # exact tie at best==0 (edge==0): gap==0 -> w would be 1-0/eps = 1
+    return jnp.where(hit, w, 0.0)
 
 
 def render(

@@ -203,26 +203,30 @@ def render_trajectory_sharded(
 
 
 def _fuse_across_views(rgba, front_inv_depth, background, axis_name,
-                       to_srgb: bool = True):
-    """Nearest-surface merge across the sharded view axis.
+                       to_srgb: bool = True, fuse_tol: float | None = None):
+    """Tolerance-blended nearest-surface merge across the sharded view axis.
 
     rgba: this view's composited (premultiplied) LDI render; front_inv_depth
     its frontmost hit in ABSOLUTE 1/m units (comparable across projectors
-    with different baselines), 0 where nothing was hit. Nearest surface wins
-    via `pmax`; exact-depth ties are averaged with `psum`s so the merge is
-    deterministic under any device order."""
+    with different baselines), 0 where nothing was hit. The frontmost
+    surface is found with `pmax`; candidates within the relative depth
+    tolerance blend with triangular weights via `psum`s (the same
+    _fusion_weights spec as the single-chip render_fused_fast — a hard
+    argmax flips winners on depth-discretization noise when several
+    projectors see the same surface). Deterministic under any device
+    order; fuse_tol=0 recovers hard nearest-wins with tie averaging."""
+    from ..config import DEFAULT_CONFIG
+    from ..models.renderer import _fusion_weights
+
+    tol = DEFAULT_CONFIG.fuse_tol if fuse_tol is None else fuse_tol
     hit = rgba[..., 3] > 0.0
     key = jnp.where(hit, front_inv_depth, -jnp.inf)
     best = jax.lax.pmax(key, axis_name)
-    winner = hit & (key >= best)
-    count = jax.lax.psum(winner.astype(jnp.float32), axis_name)
-    color = jax.lax.psum(
-        jnp.where(winner[..., None], rgba[..., :3], 0.0), axis_name
-    )
-    alpha = jax.lax.psum(jnp.where(winner, rgba[..., 3], 0.0), axis_name)
-    denom = jnp.maximum(count, 1.0)
-    color = color / denom[..., None]
-    alpha = alpha / denom
+    w = _fusion_weights(key, best, hit, tol)
+    wsum = jnp.maximum(jax.lax.psum(w, axis_name), 1e-12)
+    color = jax.lax.psum(w[..., None] * rgba[..., :3], axis_name) / wsum[..., None]
+    alpha = jax.lax.psum(w * rgba[..., 3], axis_name) / wsum
+    alpha = jnp.where(jnp.isfinite(best), alpha, 0.0)
     from ..ops.composite import finish_over_background
 
     return finish_over_background(color, alpha, background, to_srgb=to_srgb)
@@ -236,15 +240,16 @@ def render_fused_projectors(
     background=(0.0, 0.0, 0.0, 0.0),
     mask_mode: str | None = None,
     to_srgb: bool = True,
+    fuse_tol: float | None = None,
     **kwargs,
 ):
     """Fuse multiple projectors into one view, projector-sharded.
 
     Each device raycasts ITS projector — the FULL LDI stack, composited
     front-to-back with the reference's mask semantics — then the fused
-    image is assembled with collectives over ICI: nearest frontmost
-    surface wins via `pmax` on absolute inverse depth, colors merged with
-    masked `psum`s. This is the multi-projector fusion the reference
+    image is assembled with collectives over ICI: the frontmost absolute
+    inverse depth via `pmax`, then a tolerance-blended merge with
+    weighted `psum`s (_fuse_across_views). This is the multi-projector fusion the reference
     lacks (it renders only the first projector; HoloRenderer.ts:186-189).
 
     mask_mode: None -> per-projector reference default (multiply for LDI,
@@ -330,7 +335,8 @@ def render_fused_projectors(
             acc_a = acc_a + (1.0 - acc_a) * a
         view_rgba = jnp.concatenate([acc_rgb, acc_a[..., None]], axis=-1)
         return _fuse_across_views(
-            view_rgba, front, bg, axis_name, to_srgb=to_srgb
+            view_rgba, front, bg, axis_name, to_srgb=to_srgb,
+            fuse_tol=fuse_tol,
         )[None]
 
     fn = shard_map(
