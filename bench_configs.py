@@ -115,12 +115,36 @@ def main():
         _ = float(jnp.sum(jnp.stack(acc)))
 
     fps_batch = _median_rate(batch_pass, 4 * len(cams0b))
+
+    # single-dispatch pose-chunked batch (the production trajectory
+    # shape) + a DEVICE-time estimate: the marginal cost per frame
+    # between two single-dispatch batch sizes cancels the relay's fixed
+    # ~50 ms per-dispatch overhead that wall fps carries
+    cams0_400 = [cam_at(fixed_pos + [0.02 * i / 400, 0, 0])
+                 for i in range(400)]
+    _ = float(_reduce(render_fast_batch(proj, cams0_400)))
+
+    def _one_dispatch_seconds(cams, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            _ = float(_reduce(render_fast_batch(proj, cams)))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    t40 = _one_dispatch_seconds(cams0b)
+    t400 = _one_dispatch_seconds(cams0_400)
+    fps_batch400 = 400.0 / t400
+    fps_device = (400 - 40) / max(t400 - t40, 1e-9)
+
     t0 = time.time()
     _sync(render(proj, cam_at(poses0[0]), mode="raycast", mask_mode="none"))
     fps_march40 = 1.0 / (time.time() - t0)
     results["config0_fixed_novel_view"] = {
         "snap_march_fps_sequential": round(fps_seq, 1),
         "snap_march_fps_batch40_streaming": round(fps_batch, 1),
+        "snap_march_fps_batch400_one_dispatch": round(fps_batch400, 1),
+        "device_time_fps_marginal": round(fps_device, 1),
         "psnr_vs_converged_dB": round(q_snap, 2),
         "reference40_psnr_vs_converged_dB": round(q_ref40, 2),
         "reference40_march_fps": round(fps_march40, 2),
