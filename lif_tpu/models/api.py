@@ -162,9 +162,13 @@ def synthesize_projector(projector, position, config=None):
         projector.width, projector.height,
         focal_px=float(projector.focal[0]), position=position,
     )
+    # feathering=0: the border taper is a DISPLAY effect; baking it into
+    # an authored texture would darken every synthesized projector's
+    # edge band (and ghost fused/stereo borders) even where the source
+    # fully covers the view
     rgb = np.asarray(
         render_fast_view(projector, cam, to_srgb=False, mask_mode="none",
-                         config=config)
+                         feathering=0.0, config=config)
     )[..., :3]
     invz = np.asarray(render_depth_fast(projector, cam, config=config))
     disp = np.clip((invz - izmax) / (izmin - izmax), 0.0, 1.0)

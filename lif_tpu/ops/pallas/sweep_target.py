@@ -84,9 +84,9 @@ def _kernel(
     cm3,  # (ncellx, nc) f32: sliding disp max over plan.gspan cells
     pose_ref,  # (1, 1, 16) SMEM pose scalars: p_ts row-major, c_vec
     vt_ref,  # (1, 2, K) SMEM: plane invz (desc) + texel thresholds
-    src_hbm,  # (5, Wp, Hp) f32 ANY — r, g, b, mask, disp TRANSPOSED
-    out_ref,  # (1, 6, GW, lc) VMEM out block
-    blk,  # (5, bw, ylen) f32 VMEM scratch: resident source window
+    src_hbm,  # (C, Wp, Hp) f32 ANY — r,g,b,mask,disp (C=5) or disp (C=1)
+    out_ref,  # (1, oc, GW, lc) VMEM out block (oc=6, or 2 depth_only)
+    blk,  # (C, bw, ylen) f32 VMEM scratch: resident source window
     xa16,  # (GW, ylen) f32 VMEM scratch: group x-collapsed slab
     tsp,  # (tsp_rows, GW) f32 VMEM scratch: transposed slab (pow2 rows)
     pdiff,  # (lc, GW) f32 scratch — ALL state in TRANSPOSED layout
@@ -109,6 +109,11 @@ def _kernel(
 ):
     tw, lc, gwd = _TW, _LC, _GW
     bw, ylen = plan.bw, plan.ylen
+    # depth_only: the window carries ONLY the disp channel (the fetch
+    # path reads colors with one exact bilinear gather outside the
+    # kernel), so the resident-window DMA and VMEM are 1/5 of the
+    # full-color mode's — same trick as ops/pallas/sweep_scaled.py
+    dch = 0 if depth_only else 4
     g = pl.program_id(0)
     c = pl.program_id(1)
     p = pl.program_id(2)
@@ -136,7 +141,7 @@ def _kernel(
     pdiffc[:] = jnp.zeros((lc, gwd), jnp.float32)
     diffc[:] = jnp.full((lc, gwd), -1.0, jnp.float32)
     izout[:] = jnp.zeros((lc, gwd), jnp.float32)
-    cout[:] = jnp.zeros((4, lc, gwd), jnp.float32)
+    cout[:] = jnp.zeros(cout.shape, jnp.float32)
     lastk[0, 0] = -1
     nfound[0, 0] = 0.0
 
@@ -353,9 +358,9 @@ def _kernel(
             def _():
                 km1 = jnp.maximum(k - 1, 0)
                 vm = _tab(0, km1)
-                pdiff[:] = _warp((4, 5), vm, _bases(vm))[0] - _tab(1, km1)
+                pdiff[:] = _warp((dch, dch + 1), vm, _bases(vm))[0] - _tab(1, km1)
 
-            tex = _warp((4, 5), v, bases)[0]
+            tex = _warp((dch, dch + 1), v, bases)[0]
             diff = tex - tk
             crossed = jnp.logical_and(kstar[:] < -0.5, diff > 0.0)
             cnt = jnp.sum(crossed.astype(jnp.float32))
@@ -395,10 +400,9 @@ def _kernel(
             return 0
 
         jax.lax.fori_loop(0, num_planes, pass2d, 0)
-        out_ref[0, 5] = (kstar[:] > -0.5).astype(jnp.float32).T
-        out_ref[0, 4] = izout[:].T
-        for ch in range(4):
-            out_ref[0, ch] = cout[ch].T
+        # 2-channel output block: [invz, found] — no color channels
+        out_ref[0, 1] = (kstar[:] > -0.5).astype(jnp.float32).T
+        out_ref[0, 0] = izout[:].T
         return
 
     def pass2(k, _):
@@ -426,7 +430,7 @@ def _kernel(
                 for j in range(1, refine + 1):
                     s = j * step
                     vs = prev_iz + s * (izk - prev_iz)
-                    g_ = _warp((4, 5), vs, _bases(vs))[0] - (
+                    g_ = _warp((dch, dch + 1), vs, _bases(vs))[0] - (
                         thk1 + s * (thk - thk1)
                     )
                     csub = jnp.logical_and(~sfound, g_ > 0.0)
@@ -516,6 +520,11 @@ def _sweep_target(
     nc = hp // _LC
     cm3 = _build_cm3(plan, src_t, nc)
     tsp_rows = _pow2_rows(plan.ylen)
+    # depth_only: 1-channel window (disp), 2-channel output [invz,
+    # found]; color scratches shrink to minimal tiles (never read)
+    nch = 1 if depth_only else 5
+    oc = 2 if depth_only else 6
+    cdim = 8 if depth_only else _LC
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -532,12 +541,12 @@ def _sweep_target(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 6, _GW, _LC),
+            (1, oc, _GW, _LC),
             lambda g, c, p, *_: (p, 0, g, c),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((5, plan.bw, plan.ylen), jnp.float32),
+            pltpu.VMEM((nch, plan.bw, plan.ylen), jnp.float32),
             pltpu.VMEM((_GW, plan.ylen), jnp.float32),  # xa16
             pltpu.VMEM((tsp_rows, _GW), jnp.float32),  # tsp
             pltpu.VMEM((_LC, _GW), jnp.float32),  # pdiff
@@ -545,8 +554,8 @@ def _sweep_target(
             pltpu.VMEM((_LC, _GW), jnp.float32),  # pdiffc
             pltpu.VMEM((_LC, _GW), jnp.float32),  # diffc
             pltpu.VMEM((_LC, _GW), jnp.float32),  # izout
-            pltpu.VMEM((4, _LC, _GW), jnp.float32),  # cout
-            pltpu.VMEM((4, _LC, _GW), jnp.float32),  # prgba
+            pltpu.VMEM((4, cdim, _GW), jnp.float32),  # cout
+            pltpu.VMEM((4, cdim, _GW), jnp.float32),  # prgba
             pltpu.SMEM((num_planes,), jnp.float32),
             pltpu.SMEM((1, 1), jnp.int32),
             pltpu.SMEM((1, 1), jnp.float32),
@@ -559,11 +568,13 @@ def _sweep_target(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((batch, 6, w, hp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, oc, w, hp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(xlo, ylo, cm3, pose_b[:, None, :], vt_b, src_t)
-    out = out[:, :, :, : plan.out_h].transpose(0, 1, 3, 2)  # (B, 6, H, W)
+    out = out[:, :, :, : plan.out_h].transpose(0, 1, 3, 2)  # (B, oc, H, W)
+    if depth_only:
+        return out[:, 1], out[:, 0], None
     return out[:, 5], out[:, 4], out[:, 0:4].transpose(0, 2, 3, 1)
 
 
@@ -612,19 +623,30 @@ def render_target_batch_pallas(
     vt_b = jnp.stack([invz, tkt], axis=1)  # (B, 2, K)
 
     hp_src = _round_up(h + 2 * plan.pad_y, _LC)
-    rgbm = jnp.concatenate(
-        [rgb.astype(jnp.float32), mask.astype(jnp.float32)[..., None]],
-        axis=-1,
-    )
-    stack = jnp.concatenate(
-        [rgbm, disp.astype(jnp.float32)[..., None]], axis=-1
-    )  # (H, W, 5)
-    src_t = stack.transpose(2, 1, 0)  # (5, W, H)
+    if depth_only:
+        # the kernel's resident window only needs disp — 1/5 the DMA
+        stack = disp.astype(jnp.float32)[..., None]  # (H, W, 1)
+    else:
+        rgbm = jnp.concatenate(
+            [rgb.astype(jnp.float32), mask.astype(jnp.float32)[..., None]],
+            axis=-1,
+        )
+        stack = jnp.concatenate(
+            [rgbm, disp.astype(jnp.float32)[..., None]], axis=-1
+        )  # (H, W, 5)
+    src_t = stack.transpose(2, 1, 0)  # (C, W, H)
+    # round the padded width up to a whole number of 8-px skip-table
+    # cells: pad_x is 8-aligned, so a source whose own width is not
+    # 8-divisible (outpainted layers have arbitrary margins) would
+    # otherwise break _build_cm3's (wp//8, 8, hp) reshape. Extra
+    # columns ride the HIGH side (window origins only reference pad_x
+    # on the low side) and are edge replicas no window addresses.
+    extra_x = -(w + 2 * plan.pad_x) % _COARSE
     src_t = jnp.pad(
         src_t,
         (
             (0, 0),
-            (plan.pad_x, plan.pad_x),
+            (plan.pad_x, plan.pad_x + extra_x),
             (plan.pad_y, hp_src - h - plan.pad_y),
         ),
         mode="edge",

@@ -201,6 +201,7 @@ def plan_target(
     nxc_cap: int = 14,
     nyc_cap: int = 80,
     bw_cap: int = 2048,
+    channels: int = 1,
 ):
     """Host plan: window extents and candidate caps for the pose batch.
 
@@ -335,14 +336,18 @@ def plan_target(
     # window height carries up to 127 rows of slack on top of the span
     ylen_need = int((yhi_sh - ylo_sh).max()) + ny_need + 8 + 128
     ylen = _round_up(max(ylen_need, 2 * _LC), _LC)
-    # VMEM budget: the resident window (5 channels) plus the xa16 slab
-    # (GW x ylen) and fixed state must fit a 16 MB core. A pose batch
-    # whose union window exceeds it must fall back (two-phase tier)
-    # rather than fail at compile.
+    # VMEM budget: the resident window plus the xa16 slab (GW x ylen)
+    # and fixed state must fit a 16 MB core. The PRODUCTION tier
+    # (render_target_fetch_batch) marches depth_only — a 1-channel
+    # window (`channels` default) — so wide pose unions that would blow
+    # a 5-channel budget still ride the kernel; callers of the
+    # full-color debug mode must plan with channels=5. A pose batch
+    # whose union window exceeds the budget must fall back (two-phase
+    # tier) rather than fail at compile.
     tsp_rows = _LC
     while tsp_rows < ylen:
         tsp_rows *= 2
-    vmem_bytes = (5 * bw * ylen + _G * _TW * (ylen + tsp_rows)) * 4
+    vmem_bytes = (channels * bw * ylen + _G * _TW * (ylen + tsp_rows)) * 4
     if vmem_bytes > 13 * 1024 * 1024:
         raise ValueError(
             f"pose-union window needs {vmem_bytes / 1e6:.1f} MB VMEM "

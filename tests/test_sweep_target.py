@@ -153,6 +153,39 @@ class TestPallasInterpret:
             assert np.median(err) < 1e-5
 
 
+class TestPallasDepthOnly:
+    def test_depth_only_matches_twin(self, rng):
+        """The production fetch input: depth_only kernel (1-channel
+        window, 2-channel output) must solve the same found/invz* as
+        the dense twin's depth solve."""
+        from lif_tpu.ops.pallas import sweep_target as pt
+
+        rots = [_roty(10.0)]
+        cs = [np.array([0.18, 0.04, -0.02])]
+        rgb, disp, mask, f1, f2, plan, xlo, ylo, grids, k, poses = _setup(
+            rng, rots, cs
+        )
+        found, vstar = pt.render_target_batch_pallas(
+            rgb, disp, mask, IZMIN, IZMAX, jnp.asarray(poses),
+            jnp.asarray(grids), jnp.zeros(4), plan, xlo, ylo, k,
+            mask_mode="none", interpret=True, depth_only=True,
+        )
+        f_ref, v_ref = st.render_target_xla(
+            rgb, disp, mask, IZMIN, IZMAX, jnp.asarray(poses[0]),
+            jnp.asarray(grids[0]), jnp.zeros(4), k, 128, 96,
+            depth_only=True,
+        )
+        f_k = np.asarray(found[0])
+        v_k = np.where(f_k > 0.0, np.asarray(vstar[0]), 0.0)
+        # ulp-order summation differences can flip grazing crossings at
+        # isolated pixels (same bound as the full-color interpret test)
+        assert (f_k != np.asarray(f_ref)).mean() < 1e-3
+        agree = f_k == np.asarray(f_ref)
+        err = np.abs(v_k - np.asarray(v_ref)) * agree
+        assert np.median(err) < 1e-5
+        assert (err > 1e-3).mean() < 1e-3
+
+
 class TestRendererRouting:
     def test_fast_batch_routes_yaw_to_target(self, rng, monkeypatch):
         """render_fast_batch must pick the target tier for yaw-family
