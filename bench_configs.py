@@ -165,11 +165,16 @@ def main():
     _, tiers = render_fast_batch(proj, cams, return_tiers=True)
     orbit_pass()  # compile
     fps_orbit = _median_rate(orbit_pass, len(cams), reps=3)
-    # fidelity at three representative orbit poses (edge, mid, center)
+    # fidelity at three representative orbit poses (edge, mid, center),
+    # taken from the SAME 120-pose batch whose fps and tier are reported
+    # — a single-pose re-plan can route a different tier (the plan
+    # budgets are pose-batch unions), which would pair mismatched
+    # quality and throughput numbers
+    out_all = render_fast_batch(proj, cams)
     qs = []
     for idx in (0, 30, 60):
-        img = render_fast_batch(proj, cams[idx : idx + 1])[0]
-        qs.append(_psnr(img, converged(cams[idx])))
+        qs.append(_psnr(np.asarray(out_all[idx]), converged(cams[idx])))
+    del out_all
     results["config1_orbit_120"] = {
         "frames": 120,
         "batched_fps": round(fps_orbit, 1),

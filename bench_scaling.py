@@ -3,13 +3,17 @@
 Run with JAX_PLATFORMS=cpu and xla_force_host_platform_device_count=8
 (bench_configs.py invokes it that way). Prints ONE JSON line:
 
-  {"tile_scaling": {devices: seconds}, "speedup_8dev": S,
-   "config4_psnr_vs_converged_dB": Q}
+  {"tile_sharding_correct_at_devices": {n: bool},
+   "compiled_flops_total": {n: flops},
+   "per_device_flops_ratio_vs_1dev": {n: ratio},
+   "config4_psnr_vs_converged_dB": Q, "note": ...}
 
-* tile_scaling: wall seconds for ONE 3840x2160 render with the output
-  row-tiles sharded over 1/2/4/8 virtual devices (render_view_tiled,
-  the SP/CP analog). CPU-mesh numbers demonstrate the sharding axis and
-  its scaling shape, not chip hardware — the repo has one physical TPU.
+* tile sharding: ONE 3840x2160 render with the output row-tiles sharded
+  over 1/2/4/8 virtual devices (render_view_tiled, the SP/CP analog).
+  Virtual CPU devices share the same cores, so wall-clock speedup is
+  meaningless there; the scaling evidence is bit-level output parity at
+  every device count plus XLA compiler cost analysis showing each
+  device executes ~1/N of the render FLOPs.
 * config4 PSNR: the fast fused compositor's output (written by
   bench_configs.py to /tmp/fastfused.npy at 1280x800) vs the SHARDED
   fused render on the converged (640-step) raycast kernel over a

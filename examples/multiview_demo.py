@@ -70,8 +70,12 @@ def build_stereo_lif(small=False) -> bytes:
     baseline = float(proj.baseline)
     cam_r = Camera.create(w, h, focal_px=focal,
                           position=[baseline / 2, 0.0, 0.0])
+    # feathering=0, like models/api.synthesize_projector: the border
+    # taper is a display effect; baking it into the authored right-eye
+    # texture would darken its edge band and ghost the stereo borders
     rgb_r = np.asarray(render_fast_view(proj, cam_r, to_srgb=True,
-                                        mask_mode="none"))[..., :3]
+                                        mask_mode="none",
+                                        feathering=0.0))[..., :3]
     invz_r = np.asarray(render_depth_fast(proj, cam_r))
     # encode: sRGB JPEG (top-down) + 8-bit normalized invz PNG
     buf = io.BytesIO()

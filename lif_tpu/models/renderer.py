@@ -957,15 +957,21 @@ def render_fast_batch(
     if wpad and not all(m in ("march", "scaled") for m in modes):
         # sweep/rotated layers render around the true image center —
         # only the band kernels need the pad, so drop it when any layer
-        # takes another tier (rotated ignores it; sweep would misalign)
+        # takes another tier (rotated ignores it; sweep would misalign).
+        # Rotated/sweep setups are pad-independent (plan_rotated takes
+        # cam0.width; the target tier stays ineligible either way —
+        # wpad > 0 means the width isn't 8-divisible, so plan_target's
+        # 128-divisibility gate raises) and are reused as-is; only the
+        # band-tier layers re-plan at the true width.
         wpad = 0
         out_w_eff = cam0.width
         dx_pad = 0.0
-        modes, setups = [], []
-        for lay in prepared["layers"]:
-            m, s = _layer_mode(lay)
-            modes.append(m)
-            setups.append(s)
+        replan = [
+            _layer_mode(lay) if m in ("march", "scaled") else (m, s)
+            for lay, m, s in zip(prepared["layers"], modes, setups)
+        ]
+        modes = [m for m, _ in replan]
+        setups = [s for _, s in replan]
     if method == "march" and any(m == "sweep" for m in modes):
         raise ValueError(
             "method='march' needs poses the march tiers cover (lateral, "

@@ -78,13 +78,13 @@ def _round_up(n: int, q: int) -> int:
     return -(-n // q) * q
 
 
-def _pick_tw(w: int, cap: int = 128) -> int:
-    # widest band that divides the output, up to `cap`: more sublanes per
-    # vector op amortize the per-plane scalar work (SMEM loads, branches,
-    # loop control — paid once per grid program per plane) better, at the
-    # cost of a larger VMEM window + scratch footprint.
-    for tw in (512, 384, 256, 128, 64, 32, 16, 8):
-        if tw <= cap and w % tw == 0:
+def _pick_tw(w: int) -> int:
+    # widest band that divides the output: more sublanes per vector op
+    # amortize the per-plane scalar work (SMEM loads, branches, loop
+    # control — paid once per grid program per plane) better, at the
+    # cost of a larger VMEM window + scratch footprint
+    for tw in (128, 64, 32, 16, 8):
+        if w % tw == 0:
             return tw
     raise ValueError(f"output width {w} must be divisible by 8")
 
@@ -281,7 +281,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "num_planes", "batch", "refine", "interpret", "tw_cap"
+        "plan", "num_planes", "batch", "refine", "interpret",
     ),
 )
 def _sweep_lateral(
@@ -296,10 +296,9 @@ def _sweep_lateral(
     batch: int,
     refine: int = 0,
     interpret: bool = False,
-    tw_cap: int = 128,
 ):
     w, h = plan.out_w, plan.out_h
-    tw = _pick_tw(w, tw_cap)
+    tw = _pick_tw(w)
     lc = 128
     bw = _round_up(plan.tab_span_x + tw + 16, 64)
     wp, hp = src_t.shape[1], src_t.shape[2]
@@ -371,7 +370,7 @@ def _sweep_lateral(
     jax.jit,
     static_argnames=(
         "plan", "num_planes", "mask_mode", "to_srgb", "refine", "raw",
-        "crop_y", "interpret", "tw_cap",
+        "crop_y", "interpret",
     ),
 )
 def render_translation_batch_pallas(
@@ -394,7 +393,6 @@ def render_translation_batch_pallas(
     offset=(0.0, 0.0),
     crop_y: int = 0,
     interpret: bool = False,
-    tw_cap: int = 128,
 ):
     """Batched equivalent of sweep_march.render_translation_xla on TPU for
     the LATERAL case: c1[i] = [cx_i, 0, 0], f1 == f2. The source may be
@@ -421,7 +419,7 @@ def render_translation_batch_pallas(
 
     # transposed (channels, x, y) stack; x edge-padded for the shift range,
     # y padded to the 128-lane grid (values there never reach the output)
-    tw = _pick_tw(plan.out_w, tw_cap)
+    tw = _pick_tw(plan.out_w)
     bw = _round_up(plan.tab_span_x + tw + 16, 64)
     # the last out band starts at out_w - tw; its window must fit in the
     # padded source. The padded width is then rounded up to a multiple of
@@ -447,7 +445,7 @@ def render_translation_batch_pallas(
     found, rstar, rgba_star = _sweep_lateral(
         src_t, ix_t, fx_t, invz, izmin, izmax,
         plan=plan, num_planes=num_planes, batch=batch, refine=refine,
-        interpret=interpret, tw_cap=tw_cap,
+        interpret=interpret,
     )
     return jax.vmap(
         lambda f, r, rg, cc: _finalize(

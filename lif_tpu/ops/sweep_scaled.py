@@ -121,7 +121,16 @@ class ScaledPlan(NamedTuple):
 
     @property
     def padded_h(self) -> int:
-        return self.hp_out + (self.ky_lo + self.ky_hi) * _LC
+        # window reach of the last output chunk — but a source TALLER
+        # than that reach (outpainted layers carry big margins) must
+        # still fit whole: without the max, _pad_stack's top pad goes
+        # negative and jnp.pad raises instead of rendering. The extra
+        # rows sit beyond every window's reach (the displacement clip
+        # saturates inside the window) and are simply never addressed.
+        return max(
+            self.hp_out + (self.ky_lo + self.ky_hi) * _LC,
+            _round_up(self.ky_lo * _LC + self.src_h, _LC),
+        )
 
 
 def _ex_bounds(fr: float, cz_lo: float, cz_hi: float,
@@ -675,7 +684,6 @@ def render_scaled_fetch_batch(
     an identity homography and the depth map on its own pixel grid (no
     invz re-fetch). Returns (B, H, W, 4), or raw tuples.
     """
-    from ..core.color import linear_to_srgb
     from .sampling import bilinear_sample_packed, pack_rgbm
 
     h, w = disp.shape
@@ -696,43 +704,22 @@ def render_scaled_fetch_batch(
     by = (plan.src_h - plan.out_h) / 2.0
     cx0 = (plan.out_w - 1) / 2.0
     cy0 = (plan.out_h - 1) / 2.0
-    e = fr * (1.0 + c1_b[:, 2, None, None] * invz_star) - 1.0
-    gx = (
-        jx + bx + dx_user - f1 * c1_b[:, 0, None, None] * invz_star
-        + e * (jx - cx0)
-    )
-    gy = (
-        iy + by + dy_user - f1 * c1_b[:, 1, None, None] * invz_star
-        + e * (iy - cy0)
-    )
-    u1 = (gx + 0.5) / plan.src_w
-    v1 = (gy + crop_y + 0.5) / (plan.src_h + 2 * crop_y)
-    sampled = bilinear_sample_packed(pack_rgbm(rgb, mask), u1, v1, w, h)
+    packed = pack_rgbm(rgb, mask)
 
-    inside = (
-        (u1 > 0.0) & (u1 < 1.0) & (v1 > 0.0) & (v1 < 1.0)
-    ).astype(jnp.float32)
-    f = jnp.maximum(feathering, 1e-6)
-    tap = (
-        _smoothstep(0.0, f, u1) * (1.0 - _smoothstep(1.0 - f, 1.0, u1))
-        * _smoothstep(0.0, f, v1) * (1.0 - _smoothstep(1.0 - f, 1.0, v1))
-    )
-    hit = found * inside
-    alpha = hit * tap
-    if mask_mode == "multiply":
-        alpha = alpha * jnp.clip(sampled[..., 3], 0.0, 1.0)
-    elif mask_mode == "hard":
-        alpha = alpha * (sampled[..., 3] >= 0.5).astype(jnp.float32)
-        hit = hit * (sampled[..., 3] >= 0.5).astype(jnp.float32)
-    elif mask_mode != "none":
-        raise ValueError(f"unsupported mask_mode: {mask_mode}")
-    if raw:
-        return sampled, alpha, hit, invz_star
-    acc_rgb = sampled[..., :3] * alpha[..., None]
-    out_rgb = (
-        background[:3] * background[3] * (1.0 - alpha[..., None]) + acc_rgb
-    )
-    out_a = background[3] + alpha * (1.0 - background[3])
-    if to_srgb:
-        out_rgb = linear_to_srgb(out_rgb)
-    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+    def _one(c1, fnd, izst):
+        # sample position at the solved depth (finalize_scaled derives
+        # the same gx/gy internally for the taper; the fetch needs them
+        # explicitly for the color gather)
+        e = fr * (1.0 + c1[2] * izst) - 1.0
+        gx = jx + bx + dx_user - f1 * c1[0] * izst + e * (jx - cx0)
+        gy = iy + by + dy_user - f1 * c1[1] * izst + e * (iy - cy0)
+        u1 = (gx + 0.5) / plan.src_w
+        v1 = (gy + crop_y + 0.5) / (plan.src_h + 2 * crop_y)
+        sampled = bilinear_sample_packed(packed, u1, v1, w, h)
+        return finalize_scaled(
+            plan, fnd, izst, sampled, c1, f1, fr, background, feathering,
+            mask_mode, to_srgb, raw=raw, dx_user=dx_user, dy_user=dy_user,
+            crop_y=crop_y,
+        )
+
+    return jax.vmap(_one)(c1_b, found, invz_star)

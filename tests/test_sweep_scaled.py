@@ -106,6 +106,38 @@ def test_batch_matches_per_pose(rng):
         assert np.allclose(batch[i], single, atol=1e-6)
 
 
+def test_heavily_outpainted_layer_scaled_path(rng):
+    """A source much TALLER than the scaled window's reach (big outpaint
+    margins) must still plan and render: ScaledPlan.padded_h used to be
+    window-reach only, so _pad_stack's top pad went NEGATIVE and jnp.pad
+    raised at trace time instead of rendering (round-3 review finding).
+    The extra rows sit beyond every window's displacement clip, so
+    fidelity is unchanged — golden vs the exact march."""
+    from lif_tpu import Camera, projector_from_arrays
+    from lif_tpu.models.renderer import render_fast_view, render_mono_view
+
+    oh, ow = 96, 128
+    sh, sw = oh + 2 * 192, ow + 2 * 192  # 512x480 source
+    rgb, disp, mask = _scene(rng, h=sh, w=sw)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * ow, invz_min=2.0, invz_max=0.1,
+        baseline=1.0,
+    )
+    plan = sweep_scaled.scaled_plan(
+        sw, sh, ow, oh, 0.78 * ow, 1.0, 0.02, 0.01, 0.0, 0.0, 2.0, 0.1
+    )
+    assert plan.padded_h >= plan.ky_lo * 128 + sh  # the fix
+    cam = Camera.create(ow, oh, focal_px=0.78 * ow,
+                        position=[0.02, 0.01, 0.0])  # diagonal: scaled tier
+    fast = np.asarray(render_fast_view(proj, cam, mask_mode="none"))
+    ref = np.asarray(render_mono_view(proj, cam, mask_mode="none",
+                                      num_steps=320))
+    assert np.isfinite(fast).all()
+    sl = np.s_[10:-10, 10:-10]
+    p = _psnr(fast[sl], ref[sl])
+    assert p > 40.0, f"outpainted scaled path only {p:.1f} dB"
+
+
 def test_pallas_kernel_equals_oracle_interpret(rng):
     """The Pallas kernel (interpret mode) matches the XLA oracle — the
     candidate-offset decomposition is the same bilinear warp."""
