@@ -312,6 +312,108 @@ def _march_plan_tables(lay, cxs, out_w, out_h, explicit_planes=None,
     return plan, jnp.asarray(tabs), k
 
 
+def _plan_march_tier(
+    lay,
+    f2_host,
+    out_w,
+    out_w_true,
+    out_h,
+    pos_b,
+    rot_list,
+    pos_list,
+    rotated,
+    cfg,
+    explicit_planes,
+    dx_user=0.0,
+):
+    """Non-lateral march-tier cascade, shared by the mono and stereo fast
+    batch entry points (ONE definition so the tier routing cannot drift):
+    'scaled' (aligned xyz/zoom, direct scaled march) for unrotated poses,
+    else 'target' (single-phase target-ray march — rotated yaw family,
+    march-exact) with 'rotated' (two-phase march) as the fallback.
+
+    Returns (mode, static, dyn): `static` is the hashable plan tuple the
+    traced cores take as static_setups, `dyn` the per-layer jnp-array
+    extras merged into the layer dict. Raises ValueError when no tier
+    covers the pose family (mono falls back to the sweep; stereo
+    propagates — every stereo tier must be raw-capable).
+
+    `out_w` is the (possibly width-padded) band width the scaled tier
+    renders; `out_w_true` the true output width the target/rotated tiers
+    plan at (they ignore the pad — the callers drop it for them)."""
+    fr = lay["focal_host"] / f2_host
+    if not rotated:
+        plan = _sweep_scaled.scaled_plan(
+            lay["w"], lay["h"], out_w, out_h,
+            lay["focal_host"], fr,
+            float(np.abs(pos_b[:, 0]).max()),
+            float(np.abs(pos_b[:, 1]).max()),
+            float(min(pos_b[:, 2].min(), 0.0)),
+            float(max(pos_b[:, 2].max(), 0.0)),
+            lay["izmin_host"], lay["izmax_host"],
+            dx_user=dx_user,
+        )
+        grids, k_l = _sweep_scaled.parallax_step_grids_batch(
+            lay["focal_host"], pos_b, fr, out_w, out_h,
+            lay["izmin_host"], lay["izmax_host"],
+            step_px=cfg.rotated_step_px, num_planes=explicit_planes,
+        )
+        return "scaled", (plan, k_l, fr), {"grids": jnp.asarray(grids)}
+    if dx_user == 0.0:
+        # the target tier plans at the true width only (its 128-lane
+        # group layout has no pad fold; plan_target raises for
+        # non-128-divisible widths, so padded calls skip it outright)
+        try:
+            tplan, xlo_t, ylo_t = _sweep_target.plan_target(
+                lay["w"], lay["h"], out_w_true, out_h,
+                lay["focal_host"], f2_host, rot_list, pos_list,
+                lay["izmin_host"], lay["izmax_host"],
+            )
+            grids_t, k_t = _sweep_target.target_plane_grids(
+                rot_list, pos_list, lay["focal_host"], f2_host,
+                out_w_true, out_h, lay["w"], lay["h"],
+                lay["izmin_host"], lay["izmax_host"],
+                step_px=cfg.target_step_px, num_planes=explicit_planes,
+            )
+            poses_t = np.stack([
+                _sweep_target.target_pose_scalars(
+                    r, c, lay["focal_host"], f2_host, out_w_true,
+                    out_h, lay["w"], lay["h"],
+                )
+                for r, c in zip(rot_list, pos_list)
+            ])
+            return (
+                "target",
+                (tplan, k_t),
+                {
+                    "pose_sc": jnp.asarray(poses_t, jnp.float32),
+                    "grids": jnp.asarray(grids_t, jnp.float32),
+                    "xlo": jnp.asarray(xlo_t, jnp.int32),
+                    "ylo": jnp.asarray(ylo_t, jnp.int32),
+                },
+            )
+        except ValueError:
+            pass
+    plan, wi, hi, aligned, grids, k_l, skip = _rotated_march.plan_rotated(
+        lay["w"], lay["h"], out_w_true, out_h,
+        lay["focal_host"], f2_host, rot_list, pos_list,
+        lay["izmin_host"], lay["izmax_host"],
+        step_px=cfg.rotated_step_px, num_planes=explicit_planes,
+    )
+    grids_j = (
+        jnp.zeros((len(pos_list), 1), jnp.float32)
+        if skip else jnp.asarray(grids)
+    )
+    return (
+        "rotated",
+        (plan, wi, hi, max(k_l, 1), skip),
+        {
+            "aligned": jnp.asarray(aligned, jnp.float32),
+            "grids": grids_j,
+        },
+    )
+
+
 _TRANSPOSED_CACHE: "_OrderedDict" = _OrderedDict()
 _TRANSPOSED_CACHE_MAX = 8
 
@@ -865,89 +967,23 @@ def render_fast_batch(
         )
 
     def _layer_mode(lay):
-        """Per-layer dispatch tier: 'march' (lateral snap — exact),
-        'scaled' (aligned xyz + zoom, direct scaled march), 'target'
-        (single-phase target-ray march — rotated yaw-family poses,
-        march-exact), 'rotated' (two-phase march fallback), 'sweep'
-        (fallback). Returns (mode, setup)."""
+        """Per-layer dispatch tier: 'march' (lateral snap — exact), else
+        the shared non-lateral cascade (_plan_march_tier: scaled /
+        target / rotated), else 'sweep'. Returns (mode, setup) with
+        setup = (static plan tuple, per-layer array extras)."""
         if _lat_ok(lay):
             return "march", None
         if method not in ("march", "auto"):
             return "sweep", None
-        fr = lay["focal_host"] / f2_host
-        if not rotated:
-            try:
-                plan = _sweep_scaled.scaled_plan(
-                    lay["w"], lay["h"], out_w_eff, cam0.height,
-                    lay["focal_host"], fr,
-                    float(np.abs(pos_b[:, 0]).max()),
-                    float(np.abs(pos_b[:, 1]).max()),
-                    float(min(pos_b[:, 2].min(), 0.0)),
-                    float(max(pos_b[:, 2].max(), 0.0)),
-                    lay["izmin_host"], lay["izmax_host"],
-                    dx_user=dx_pad,
-                )
-            except ValueError:
-                return "sweep", None
-            grids, k_l = _sweep_scaled.parallax_step_grids_batch(
-                lay["focal_host"], pos_b, fr, out_w_eff, cam0.height,
-                lay["izmin_host"], lay["izmax_host"],
-                step_px=cfg.rotated_step_px, num_planes=explicit_planes,
-            )
-            return "scaled", (plan, k_l, fr, jnp.asarray(grids))
-        # rotated: single-phase target-ray march first (march-exact for
-        # the yaw family — orbit/pan; plan_target raises for
-        # row-dependent x positions and for non-128-divisible widths),
-        # then the two-phase rotated march, then the sweep.
-        if dx_pad == 0.0:
-            try:
-                tplan, xlo_t, ylo_t = _sweep_target.plan_target(
-                    lay["w"], lay["h"], out_w_eff, cam0.height,
-                    lay["focal_host"], f2_host, rot_list, pos_list,
-                    lay["izmin_host"], lay["izmax_host"],
-                )
-                grids_t, k_t = _sweep_target.target_plane_grids(
-                    rot_list, pos_list, lay["focal_host"], f2_host,
-                    out_w_eff, cam0.height, lay["w"], lay["h"],
-                    lay["izmin_host"], lay["izmax_host"],
-                    step_px=cfg.target_step_px, num_planes=explicit_planes,
-                )
-                poses_t = np.stack([
-                    _sweep_target.target_pose_scalars(
-                        r, c, lay["focal_host"], f2_host, out_w_eff,
-                        cam0.height, lay["w"], lay["h"],
-                    )
-                    for r, c in zip(rot_list, pos_list)
-                ])
-                return "target", (
-                    tplan, k_t,
-                    jnp.asarray(poses_t, jnp.float32),
-                    jnp.asarray(grids_t, jnp.float32),
-                    jnp.asarray(xlo_t, jnp.int32),
-                    jnp.asarray(ylo_t, jnp.int32),
-                )
-            except ValueError:
-                pass
         try:
-            plan, wi, hi, aligned, grids, k_l, skip = (
-                _rotated_march.plan_rotated(
-                    lay["w"], lay["h"], cam0.width, cam0.height,
-                    lay["focal_host"], f2_host, rot_list, pos_list,
-                    lay["izmin_host"], lay["izmax_host"],
-                    step_px=cfg.rotated_step_px,
-                    num_planes=explicit_planes,
-                )
+            mode, static, dyn = _plan_march_tier(
+                lay, f2_host, out_w_eff, cam0.width, cam0.height,
+                pos_b, rot_list, pos_list, rotated, cfg,
+                explicit_planes, dx_user=dx_pad,
             )
         except ValueError:
             return "sweep", None
-        b_n = len(cameras)
-        grids_j = (
-            jnp.zeros((b_n, 1), jnp.float32) if skip else jnp.asarray(grids)
-        )
-        return "rotated", (
-            plan, wi, hi, max(k_l, 1), skip,
-            jnp.asarray(aligned, jnp.float32), grids_j,
-        )
+        return mode, (static, dyn)
 
     modes, setups = [], []
     for lay in prepared["layers"]:
@@ -1014,11 +1050,7 @@ def render_fast_batch(
         plans=tuple(plans),
         modes=tuple(modes),
         static_setups=tuple(
-            (s[0], s[1], s[2]) if m == "scaled"
-            else (s[0], s[1]) if m == "target"
-            else (s[0], s[1], s[2], s[3], s[4]) if m == "rotated"
-            else None
-            for m, s in zip(modes, setups)
+            s[0] if s is not None else None for s in setups
         ),
         rotated=rotated,
         refine=refine,
@@ -1044,17 +1076,9 @@ def render_fast_batch(
             **(
                 {"plane_invz": tab} if tab is not None else {}
             ),
-            **(
-                {"grids": s[3]} if m == "scaled"
-                else {
-                    "pose_sc": s[2], "grids": s[3],
-                    "xlo": s[4], "ylo": s[5],
-                } if m == "target"
-                else {"aligned": s[5], "grids": s[6]} if m == "rotated"
-                else {}
-            ),
+            **(s[1] if s is not None else {}),
         )
-        for lay, tab, m, s in zip(prepared["layers"], tables, modes, setups)
+        for lay, tab, s in zip(prepared["layers"], tables, setups)
     )
     out = core(
         layer_args,
@@ -1262,10 +1286,9 @@ def _fast_chunk_body(
                 feathering=feathering, mask_mode=mask_mode,
                 to_srgb=False, refine=rot_refine, skip_phase_a=skip,
             )
-            if out_w != out_w_true:
-                layer = jnp.pad(
-                    layer, ((0, 0), (0, 0), (0, out_w - out_w_true), (0, 0))
-                )
+            # no out_w != out_w_true pad here: render_fast_batch drops
+            # the width pad whenever any layer leaves the band tiers,
+            # so rotated layers always run at the true width
         else:
             if mask_mode == "hard":
                 raise ValueError(
@@ -1458,91 +1481,19 @@ def render_stereo_fast_batch(
             tables.append(None)
             nums.append(0)
             rotated_eye = not np.allclose(rot_b, np.eye(3), atol=1e-5)
-            fr = lay["focal_host"] / f2_host
             try:
-                if not rotated_eye:
-                    plan = _sweep_scaled.scaled_plan(
-                        lay["w"], lay["h"], cam0.width, cam0.height,
-                        lay["focal_host"], fr,
-                        float(np.abs(pos_b[:, 0]).max()),
-                        float(np.abs(pos_b[:, 1]).max()),
-                        float(min(pos_b[:, 2].min(), 0.0)),
-                        float(max(pos_b[:, 2].max(), 0.0)),
-                        lay["izmin_host"], lay["izmax_host"],
-                    )
-                    grids, k_l = _sweep_scaled.parallax_step_grids_batch(
-                        lay["focal_host"], pos_b, fr, cam0.width,
-                        cam0.height, lay["izmin_host"], lay["izmax_host"],
-                        step_px=cfg.rotated_step_px,
-                        num_planes=explicit_planes,
-                    )
-                    modes.append("scaled")
-                    setups.append(
-                        ((plan, k_l, fr), {"grids": jnp.asarray(grids)})
-                    )
-                    continue
-                # rotated eye: the single-phase target-ray march first
-                # (march-exact yaw family), then the two-phase fallback
-                try:
-                    tplan, xlo_t, ylo_t = _sweep_target.plan_target(
-                        lay["w"], lay["h"], cam0.width, cam0.height,
-                        lay["focal_host"], f2_host, rot_list, pos_list,
-                        lay["izmin_host"], lay["izmax_host"],
-                    )
-                    grids_t, k_t = _sweep_target.target_plane_grids(
-                        rot_list, pos_list, lay["focal_host"], f2_host,
-                        cam0.width, cam0.height, lay["w"], lay["h"],
-                        lay["izmin_host"], lay["izmax_host"],
-                        step_px=cfg.target_step_px,
-                        num_planes=explicit_planes,
-                    )
-                    poses_t = np.stack([
-                        _sweep_target.target_pose_scalars(
-                            r, c, lay["focal_host"], f2_host,
-                            cam0.width, cam0.height, lay["w"], lay["h"],
-                        )
-                        for r, c in zip(rot_list, pos_list)
-                    ])
-                    modes.append("target")
-                    setups.append((
-                        (tplan, k_t),
-                        {
-                            "pose_sc": jnp.asarray(poses_t, jnp.float32),
-                            "grids": jnp.asarray(grids_t, jnp.float32),
-                            "xlo": jnp.asarray(xlo_t, jnp.int32),
-                            "ylo": jnp.asarray(ylo_t, jnp.int32),
-                        },
-                    ))
-                    continue
-                except ValueError:
-                    pass
-                plan, wi, hi, aligned, grids, k_l, skip = (
-                    _rotated_march.plan_rotated(
-                        lay["w"], lay["h"], cam0.width, cam0.height,
-                        lay["focal_host"], f2_host, rot_list,
-                        pos_list, lay["izmin_host"],
-                        lay["izmax_host"],
-                        step_px=cfg.rotated_step_px,
-                        num_planes=explicit_planes,
-                    )
+                mode, static, dyn = _plan_march_tier(
+                    lay, f2_host, cam0.width, cam0.width, cam0.height,
+                    pos_b, rot_list, pos_list, rotated_eye, cfg,
+                    explicit_planes,
                 )
-                grids_j = (
-                    jnp.zeros((len(cameras), 1), jnp.float32)
-                    if skip else jnp.asarray(grids)
-                )
-                modes.append("rotated")
-                setups.append((
-                    (plan, wi, hi, max(k_l, 1), skip),
-                    {
-                        "grids": grids_j,
-                        "aligned": jnp.asarray(aligned, jnp.float32),
-                    },
-                ))
             except ValueError as e:
                 raise ValueError(
                     "render_stereo_fast: pose family outside the march "
                     f"tiers ({e}); use render_stereo_view"
                 ) from e
+            modes.append(mode)
+            setups.append((static, dyn))
         return modes, setups, plans, crops, nums, tables, doffs
 
     setup_l = _eye_setup(prep_l, pos_l, rot_l, rlist_l, plist_l, lat_l, sk_l)
