@@ -126,3 +126,34 @@ def test_batch_matches_per_pose(rng):
             )
         )[0]
         assert np.allclose(batch[i], single, atol=1e-5)
+
+
+def test_odd_width_rotated_pose_drops_pad(rng):
+    """Odd output width (wpad > 0) + a rotated pose: the batch entry
+    plans the band tiers at the padded width first, then drops the pad
+    because the rotated tier ignores it — the rotated/target setups are
+    reused as-is while only band-tier layers replan (renderer.py wpad
+    drop). Routed tier must be non-sweep and golden vs the exact march
+    at the SAME odd-width camera."""
+    from lif_tpu import Camera, projector_from_arrays
+    from lif_tpu.models.renderer import render_fast_batch, render_mono_view
+
+    h, w = 96, 127  # w % 8 == 7 -> wpad = 1 before the drop
+    rgb, disp, mask = _scene(rng, h=h, w=w)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.1,
+        baseline=1.0,
+    )
+    cam = Camera.create(
+        w, h, focal_px=0.78 * w, position=[0.03, 0.0, 0.0],
+        rotation=_roty(3.0),
+    )
+    out, tiers = render_fast_batch(proj, [cam], return_tiers=True)
+    out = np.asarray(out)[0]
+    assert out.shape == (h, w, 4)
+    assert tiers[0] in ("rotated", "target"), tiers
+    ref = np.asarray(render_mono_view(proj, cam, mask_mode="none",
+                                      num_steps=320))
+    sl = np.s_[10:-10, 10:-10]
+    p = _psnr(out[sl], ref[sl])
+    assert p > 38.0, f"odd-width rotated pose only {p:.1f} dB"
