@@ -2110,6 +2110,7 @@ def render_fused_fast_batch(
         feathering=float(feathering),
         to_srgb=to_srgb,
         fuse_tol=float(cfg.fuse_tol),
+        pose_chunk=cfg.pose_chunk,
     )
     return core(
         tuple(all_args), tuple(c1s),
@@ -2135,17 +2136,70 @@ def _fused_fast_core(
     feathering,
     to_srgb,
     fuse_tol,
+    pose_chunk=0,
 ):
     """Traced body of render_fused_fast_batch: per-projector LDI
     composite on the batched march (raw), then the tolerance-blended
     nearest-surface merge (_fusion_weights). All images are (B, H, W, ...).
 
-    The march's invz_star is ALREADY absolute inverse depth in 1/m
-    (layer izmin/izmax were divided by baseline in _prepared_fast, and
-    depth = baseline/invz_LIF = 1/(invz_LIF/baseline)), so it compares
-    across projectors with different baselines directly — no further
-    scaling (a second /baseline here was a measured bug that made the
-    FARTHER surface win; tests/test_fusion.py covers mixed baselines)."""
+    Like _fast_batch_core, batches beyond `pose_chunk` run as a lax.map
+    over fixed-size pose chunks inside this one compiled dispatch: the
+    per-pose inputs (c1 and per-pose snap plane tables) split along the
+    pose axis, the textures stay loop-invariant, and the (V, n, H, W)
+    fusion intermediates never exceed chunk x frame size."""
+    batch = c1s[0].shape[0]
+    if pose_chunk and batch > pose_chunk:
+        n_chunks = -(-batch // pose_chunk)
+        pad_n = n_chunks * pose_chunk - batch
+
+        def _split(a):
+            if pad_n:
+                a = jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], pad_n, axis=0)], axis=0
+                )
+            return a.reshape((n_chunks, pose_chunk) + a.shape[1:])
+
+        # per-pose snap tables are (B, K); shared grids (K,) stay fixed
+        pp_tabs = tuple(
+            tuple(
+                {"plane_invz": lay["plane_invz"]}
+                if lay["plane_invz"].ndim == 2
+                and lay["plane_invz"].shape[0] == batch
+                else {}
+                for lay in layers
+            )
+            for layers in proj_args
+        )
+        fixed_args = tuple(
+            tuple(
+                {k: v for k, v in lay.items() if k not in pp}
+                for lay, pp in zip(layers, pps)
+            )
+            for layers, pps in zip(proj_args, pp_tabs)
+        )
+
+        def _chunk(x):
+            c1s_c, tabs_c = x
+            args_c = tuple(
+                tuple(dict(lay, **pp) for lay, pp in zip(layers, pps))
+                for layers, pps in zip(fixed_args, tabs_c)
+            )
+            return _fused_fast_core(
+                args_c, c1s_c, background,
+                plans=plans, nums=nums, modes=modes,
+                feathering=feathering, to_srgb=to_srgb,
+                fuse_tol=fuse_tol, pose_chunk=0,
+            )
+
+        xs = (
+            tuple(_split(c1) for c1 in c1s),
+            tuple(
+                tuple({k: _split(v) for k, v in pp.items()} for pp in pps)
+                for pps in pp_tabs
+            ),
+        )
+        out = jax.lax.map(_chunk, xs)
+        return out.reshape((n_chunks * pose_chunk,) + out.shape[2:])[:batch]
     zero_bg = jnp.zeros(4, jnp.float32)
     view_rgb, view_a, view_front = [], [], []
     for layers, plan_l, num_l, m_mode, c1 in zip(

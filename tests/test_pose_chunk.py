@@ -91,3 +91,22 @@ def test_stereo_chunked_equals_unchunked(small_proj):
     b = np.asarray(render_stereo_fast_batch(
         left, right, cams, config=DEFAULT_CONFIG.replace(pose_chunk=2)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_chunked_equals_unchunked(small_proj):
+    from lif_tpu.config import DEFAULT_CONFIG
+    from lif_tpu.models.renderer import render_fused_fast_batch
+
+    p2 = small_proj.replace(
+        position=np.asarray([0.02, 0.0, 0.0], np.float32)
+    )
+    poses = [[0.004 * i, 0.0, 0.0] for i in range(7)]
+    cams = _cams(small_proj, poses)
+    # snap mode gives per-pose (B, K) plane tables — the per-pose input
+    # the chunk split must carry; chunk 3 on 7 poses covers the pad tail
+    cfg = DEFAULT_CONFIG.replace(plane_mode="snap")
+    a = np.asarray(render_fused_fast_batch(
+        [small_proj, p2], cams, config=cfg.replace(pose_chunk=100)))
+    b = np.asarray(render_fused_fast_batch(
+        [small_proj, p2], cams, config=cfg.replace(pose_chunk=3)))
+    np.testing.assert_array_equal(a, b)
