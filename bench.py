@@ -45,7 +45,46 @@ BATCH = 400
 REPS = 1
 
 
+def _wait_for_device(budget_s: float = 2400.0, probe_timeout_s: float = 120.0):
+    """Block until the TPU answers a tiny op, retrying for up to budget_s.
+
+    The axon relay can go dark for long stretches (docs/TPU_NOTES.md:
+    "tunnel outages"); jax.devices() then HANGS in-process rather than
+    erroring, which would wedge the driver's end-of-round bench run.
+    Probe in a subprocess under a timeout so a dark tunnel yields a
+    bounded, clearly-diagnosed failure instead of an indefinite hang.
+    """
+    import subprocess
+    import sys
+
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0:
+                return r.stdout.strip().splitlines()[-1]
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(json.dumps({
+                "error": "TPU tunnel dark: device probe failed for "
+                         f"{budget_s:.0f}s over {attempt} attempts; "
+                         "no benchmark was run",
+            }))
+            sys.exit(2)
+        time.sleep(min(60.0, max(5.0, deadline - time.time())))
+
+
 def main():
+    platform = _wait_for_device()
+    print(f"device probe ok: platform={platform}", flush=True)
+
     import jax
     import jax.numpy as jnp
 
