@@ -27,10 +27,12 @@ import time
 import numpy as np
 
 
-def sfmoma_assets(small: bool = False):
+def sfmoma_assets(small: bool = False, scale: int = 1):
     """The SFMoMA demo assets (reference: public/assets, scene constants
     index.html:142-168). Returns (jpeg_bytes, depth_png_bytes, w, h);
-    small=True downsamples 4x for quick CPU runs."""
+    `scale` downsamples by that integer factor (small=True is scale 4,
+    kept for quick CPU runs; scale=2 gives 640x400 — still 128-divisible,
+    so the rotated target-ray tier stays eligible)."""
     import io
 
     from PIL import Image
@@ -39,25 +41,28 @@ def sfmoma_assets(small: bool = False):
     depth = open("/root/reference/public/assets/depth.png", "rb").read()
     w, h = Image.open("/root/reference/public/assets/rgb.jpg").size
     if small:
-        im = Image.open(io.BytesIO(jpeg)).resize((w // 4, h // 4))
+        scale = 4
+    if scale != 1:
+        im = Image.open(io.BytesIO(jpeg)).resize((w // scale, h // scale))
         buf = io.BytesIO()
         im.save(buf, "JPEG", quality=95)
         jpeg = buf.getvalue()
-        dm = Image.open(io.BytesIO(depth)).resize((w // 4, h // 4))
+        dm = Image.open(io.BytesIO(depth)).resize((w // scale, h // scale))
         buf = io.BytesIO()
         dm.save(buf, "PNG")
         depth = buf.getvalue()
-        w, h = w // 4, h // 4
+        w, h = w // scale, h // scale
     return jpeg, depth, w, h
 
 
-def build_sfmoma_lif(position=(0, 0, 0), small: bool = False) -> bytes:
+def build_sfmoma_lif(position=(0, 0, 0), small: bool = False,
+                     scale: int = 1) -> bytes:
     """Author the SFMoMA scene as an in-memory LIF container — THE single
     source of the scene constants for the benches and examples
     (reference: index.html:142-168)."""
     from lif_tpu.io import container
 
-    jpeg, depth, w, h = sfmoma_assets(small)
+    jpeg, depth, w, h = sfmoma_assets(small, scale)
     meta = {
         "views": [{
             "image": {"blob_id": -1},
