@@ -100,47 +100,70 @@ def main():
     def cam(x):
         return Camera.create(W, H, focal_px=focal, position=[x, 0.0, 0.0])
 
-    # same 0.02 m pose spread as the round-2 40-pose batch (the march
-    # plan's resident-window margin is the POSE-BATCH UNION of shifts,
-    # so the spread — not the count — sets the per-tile footprint)
-    cams = [cam(0.135 + 0.02 * i / BATCH) for i in range(BATCH)]
-
     @jax.jit
     def reduce_img(img):
         return jnp.sum(img) * 1e-9
 
-    def step():
-        # render_fast_batch executes as one compiled dispatch; the
-        # reduction is jitted so no full image crosses the tunnel
-        return reduce_img(render_fast_batch(proj, cams, method="march"))
+    def make_step(batch):
+        # same 0.02 m pose spread as the round-2 40-pose batch (the
+        # march plan's resident-window margin is the POSE-BATCH UNION of
+        # shifts, so the spread — not the count — sets the per-tile
+        # footprint)
+        cams = [cam(0.135 + 0.02 * i / batch) for i in range(batch)]
 
-    # compile + honest-timing warmup (first D2H switches the runtime into
-    # synchronous accounting); the reported figure is the MEDIAN of 5
-    # timed passes — the relay's per-dispatch variance makes a best-of
-    # statistic indefensible (docs/TPU_NOTES.md)
-    _ = float(step())
+        def step():
+            # render_fast_batch executes as one compiled dispatch; the
+            # reduction is jitted so no full image crosses the tunnel
+            return reduce_img(render_fast_batch(proj, cams, method="march"))
 
-    samples = []
-    for _rep in range(5):
-        t0 = time.time()
-        acc = [step() for _ in range(REPS)]
-        _ = float(jnp.sum(jnp.stack(acc)))  # one sync for all batches
-        samples.append(REPS * BATCH / (time.time() - t0))
-    fps_med = float(np.median(samples))
+        return step
+
+    # degradation ladder: the big single dispatch first; if the worker
+    # rejects it (transient "TPU worker crashed" faults were observed on
+    # large fused graphs, docs/TPU_NOTES.md), fall back to the round-2
+    # streaming protocol (more, smaller dispatches) rather than failing
+    # the whole bench run. Each (batch, reps) pass times reps dispatches.
+    fps_med = None
+    for batch, reps, label in ((BATCH, REPS, "single-dispatch"),
+                               (40, 10, "streaming-fallback")):
+        try:
+            step = make_step(batch)
+            # compile + honest-timing warmup (first D2H switches the
+            # runtime into synchronous accounting); the reported figure
+            # is the MEDIAN of 5 timed passes — the relay's per-dispatch
+            # variance makes a best-of statistic indefensible
+            # (docs/TPU_NOTES.md)
+            _ = float(step())
+        except Exception as e:  # noqa: BLE001 — any device/compile fault
+            print(f"batch={batch} ({label}) failed: {e!r}", flush=True)
+            continue
+        samples = []
+        for _rep in range(5):
+            t0 = time.time()
+            acc = [step() for _ in range(reps)]
+            _ = float(jnp.sum(jnp.stack(acc)))  # one sync for all batches
+            samples.append(reps * batch / (time.time() - t0))
+        fps_med = float(np.median(samples))
+        protocol = f"{label}, batch={batch}x{reps}"
+        break
+    if fps_med is None:
+        print(json.dumps({"error": "all bench protocols failed"}))
+        raise SystemExit(3)
 
     # measured fidelity of the EXACT benched mode at the bench pose
     def psnr(a, b):
         mse = np.mean((a[..., :3] - b[..., :3]) ** 2)
         return 10 * np.log10(1.0 / max(float(mse), 1e-12))
 
+    cam0 = cam(0.135)  # the batch's first pose
     bench_img = np.asarray(
-        render_fast_batch(proj, cams[:1], method="march")[0]
+        render_fast_batch(proj, [cam0], method="march")[0]
     )
     conv = np.asarray(
-        render_mono_view(proj, cams[0], mask_mode="none", num_steps=640)
+        render_mono_view(proj, cam0, mask_mode="none", num_steps=640)
     )
     ref40 = np.asarray(
-        render_mono_view(proj, cams[0], mask_mode="none", num_steps=40)
+        render_mono_view(proj, cam0, mask_mode="none", num_steps=40)
     )
     q_bench = psnr(bench_img, conv)
     q_ref40 = psnr(ref40, conv)
@@ -149,9 +172,9 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "novel-view frames/sec/chip @1280x800, median of 5 "
-                    "timed passes (SFMoMA, Pallas integer-parallax "
-                    "snap-plane march; measured this run: "
+                    f"novel-view frames/sec/chip @{W}x{H}, median of 5 "
+                    f"timed passes, {protocol} (SFMoMA, Pallas "
+                    "integer-parallax snap-plane march; measured this run: "
                     f"{q_bench:.1f} dB vs the converged 640-step ray march "
                     f"at the bench pose, where the reference's own 40-step "
                     f"production march measures {q_ref40:.1f} dB)"

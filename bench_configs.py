@@ -310,6 +310,15 @@ def main():
     cam1k = cam_at([0.05, 0.0, 0.0])
     fast_fused = np.asarray(render_fused_fast_batch(projs1k, [cam1k])[0])
     np.save("/tmp/fastfused.npy", fast_fused)
+    # second tolerance point: the residual vs the oracle is dominated by
+    # winner-flip sensitivity at fusion tie boundaries (a wider blend
+    # band lifts agreement ~7 dB, measured on the small-scale twin), so
+    # report the default AND fuse_tol=0.1 to show the bound's source
+    from lif_tpu.config import DEFAULT_CONFIG
+
+    fast_tol = np.asarray(render_fused_fast_batch(
+        projs1k, [cam1k], config=DEFAULT_CONFIG.replace(fuse_tol=0.1))[0])
+    np.save("/tmp/fastfused_tol01.npy", fast_tol)
     # the oracle subprocess (bench_scaling.py) must fuse the SAME
     # coherent projector content
     np.savez("/tmp/fastfused_projs.npz",

@@ -136,6 +136,19 @@ def main():
         out["config4_psnr_vs_converged_dB"] = round(
             10 * np.log10(1.0 / max(float(mse), 1e-12)), 2
         )
+        # second tolerance point (both sides at fuse_tol=0.1): shows the
+        # default-tol residual is winner-flip sensitivity at fusion tie
+        # boundaries, not warp/march error
+        tol_path = "/tmp/fastfused_tol01.npy"
+        if os.path.exists(tol_path):
+            fast_tol = np.load(tol_path)
+            conv_tol = np.asarray(sharding.render_fused_projectors(
+                projs, cam1k, mesh4, num_steps=640, fuse_tol=0.1
+            ))
+            mse_t = np.mean((fast_tol[..., :3] - conv_tol[..., :3]) ** 2)
+            out["config4_psnr_vs_converged_dB_fuse_tol_0.1"] = round(
+                10 * np.log10(1.0 / max(float(mse_t), 1e-12)), 2
+            )
 
     print(json.dumps(out), flush=True)
 
