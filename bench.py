@@ -134,15 +134,18 @@ def main():
             # variance makes a best-of statistic indefensible
             # (docs/TPU_NOTES.md)
             _ = float(step())
+            samples = []
+            for _rep in range(5):
+                t0 = time.time()
+                acc = [step() for _ in range(reps)]
+                # one sync for all batches
+                _ = float(jnp.sum(jnp.stack(acc)))
+                samples.append(reps * batch / (time.time() - t0))
         except Exception as e:  # noqa: BLE001 — any device/compile fault
+            # transient worker faults can hit a TIMED pass too, not just
+            # the warmup; fall to the next protocol either way
             print(f"batch={batch} ({label}) failed: {e!r}", flush=True)
             continue
-        samples = []
-        for _rep in range(5):
-            t0 = time.time()
-            acc = [step() for _ in range(reps)]
-            _ = float(jnp.sum(jnp.stack(acc)))  # one sync for all batches
-            samples.append(reps * batch / (time.time() - t0))
         fps_med = float(np.median(samples))
         protocol = f"{label}, batch={batch}x{reps}"
         break

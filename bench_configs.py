@@ -148,7 +148,11 @@ def main():
         "psnr_vs_converged_dB": round(q_snap, 2),
         "reference40_psnr_vs_converged_dB": round(q_ref40, 2),
         "reference40_march_fps": round(fps_march40, 2),
-        "statistic": "median of 5 passes",
+        "statistic": (
+            "medians: sequential 3 passes, batch40 5 passes, "
+            "batch400/device-marginal 5 passes; reference40 fps is a "
+            "single timed pass"
+        ),
     }
     print("config0:", results["config0_fixed_novel_view"], flush=True)
 
@@ -162,15 +166,15 @@ def main():
     def orbit_pass():
         _sync(render_fast_batch(proj, cams))
 
-    _, tiers = render_fast_batch(proj, cams, return_tiers=True)
     orbit_pass()  # compile
     fps_orbit = _median_rate(orbit_pass, len(cams), reps=3)
     # fidelity at three representative orbit poses (edge, mid, center),
     # taken from the SAME 120-pose batch whose fps and tier are reported
     # — a single-pose re-plan can route a different tier (the plan
     # budgets are pose-batch unions), which would pair mismatched
-    # quality and throughput numbers
-    out_all = render_fast_batch(proj, cams)
+    # quality and throughput numbers; one call serves both the images
+    # and the routed-tier report
+    out_all, tiers = render_fast_batch(proj, cams, return_tiers=True)
     qs = []
     for idx in (0, 30, 60):
         qs.append(_psnr(np.asarray(out_all[idx]), converged(cams[idx])))
@@ -363,6 +367,21 @@ def main():
         results["sharded_4k_scaling_cpu_mesh"] = {"error": str(e)[:300]}
     print("scaling:", results["sharded_4k_scaling_cpu_mesh"], flush=True)
 
+    # provenance stamp: which code produced these numbers (a stale table
+    # that the committed bench code cannot reproduce reads as evidence
+    # it is not — review finding r3)
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        rev = "unknown"
+    results["_provenance"] = {
+        "generated_at_commit": rev,
+        "generated_by": "bench_configs.py (on-chip) + bench_scaling.py "
+                        "(virtual CPU mesh subprocess)",
+    }
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results), flush=True)

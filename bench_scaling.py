@@ -83,9 +83,15 @@ def main():
             flops[n] = None
     out["tile_sharding_correct_at_devices"] = correct
     if all(v for v in flops.values()):
-        out["compiled_flops_total"] = {k: round(v) for k, v in flops.items()}
+        # cost_analysis() on the SPMD-compiled program reports the
+        # PER-DEVICE program's flops (it halves as n doubles), so the
+        # ratio vs the 1-device figure is flops[n]/flops[1] directly —
+        # dividing by n again would claim 1/N^2 (review finding r3)
+        out["compiled_flops_per_device"] = {
+            k: round(v) for k, v in flops.items()
+        }
         out["per_device_flops_ratio_vs_1dev"] = {
-            k: round(v / max(k, 1) / flops[1], 3) for k, v in flops.items()
+            k: round(v / flops[1], 3) for k, v in flops.items()
         }
     out["note"] = (
         "virtual 8-device CPU mesh (one physical TPU in this rig): "

@@ -1098,6 +1098,28 @@ def _fast_batch_core_jit(**statics):
     return _memo_jit(_fast_batch_core, _FAST_BATCH_CORE_CACHE, **statics)
 
 
+def _pose_chunk_map(body, xs, batch, pose_chunk):
+    """Run `body` over fixed-size pose chunks of the per-pose pytree
+    `xs` as a lax.map INSIDE one jitted program: the tail chunk is
+    padded with the last pose (repeat) and sliced off the output, so
+    the compiled body stays one-chunk-sized while one device dispatch
+    serves the whole trajectory. Shared by the mono, stereo, and fused
+    fast cores — the per-pose/fixed input split stays at each site (the
+    key heuristics differ), the chunking mechanics live here."""
+    n_chunks = -(-batch // pose_chunk)
+    pad_n = n_chunks * pose_chunk - batch
+
+    def _split(a):
+        if pad_n:
+            a = jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad_n, axis=0)], axis=0
+            )
+        return a.reshape((n_chunks, pose_chunk) + a.shape[1:])
+
+    out = jax.lax.map(body, jax.tree.map(_split, xs))
+    return out.reshape((n_chunks * pose_chunk,) + out.shape[2:])[:batch]
+
+
 def _fast_batch_core(
     layers,
     c1_b,  # (B, 3)
@@ -1164,22 +1186,7 @@ def _fast_batch_core(
         for lay, pp in zip(layers, pp_layers)
     )
     if pose_chunk and batch > pose_chunk:
-        n_chunks = -(-batch // pose_chunk)
-        pad_n = n_chunks * pose_chunk - batch
-
-        def _split(a):
-            if pad_n:
-                a = jnp.concatenate(
-                    [a, jnp.repeat(a[-1:], pad_n, axis=0)], axis=0
-                )
-            return a.reshape((n_chunks, pose_chunk) + a.shape[1:])
-
-        xs = (
-            _split(c1_b),
-            _split(rot_b),
-            tuple({k: _split(v) for k, v in pp.items()} for pp in pp_layers),
-        )
-        out = jax.lax.map(
+        return _pose_chunk_map(
             lambda x: _fast_chunk_body(
                 fixed_layers, x[0], x[1], x[2], f2, background,
                 plans=plans, modes=modes, static_setups=static_setups,
@@ -1190,9 +1197,9 @@ def _fast_batch_core(
                 out_h=out_h, out_w_true=out_w_true, pad_dx=pad_dx,
                 crops=crops,
             ),
-            xs,
+            (c1_b, rot_b, pp_layers),
+            batch, pose_chunk,
         )
-        return out.reshape((n_chunks * pose_chunk,) + out.shape[2:])[:batch]
     return _fast_chunk_body(
         fixed_layers, c1_b, rot_b, pp_layers, f2, background,
         plans=plans, modes=modes, static_setups=static_setups,
@@ -1482,16 +1489,29 @@ def render_stereo_fast_batch(
             nums.append(0)
             rotated_eye = not np.allclose(rot_b, np.eye(3), atol=1e-5)
             try:
+                # the skew fold d must ride the tier: dx into the plan's
+                # window budget (and the warp as a constant), dy via the
+                # scaled kernel's dy_user (skew implies lateral poses per
+                # the guard above, so the non-march tier is always
+                # 'scaled' when d != 0)
                 mode, static, dyn = _plan_march_tier(
                     lay, f2_host, cam0.width, cam0.width, cam0.height,
                     pos_b, rot_list, pos_list, rotated_eye, cfg,
-                    explicit_planes,
+                    explicit_planes, dx_user=float(d[0]),
                 )
             except ValueError as e:
                 raise ValueError(
                     "render_stereo_fast: pose family outside the march "
                     f"tiers ({e}); use render_stereo_view"
                 ) from e
+            if mode == "scaled":
+                static = static + (float(d[0]), float(d[1]))
+            elif skewed:
+                raise ValueError(
+                    "render_stereo_fast: skewed stereo layer routed the "
+                    f"'{mode}' tier, which cannot apply the frustum "
+                    "shift; use render_stereo_view"
+                )
             modes.append(mode)
             setups.append((static, dyn))
         return modes, setups, plans, crops, nums, tables, doffs
@@ -1634,29 +1654,14 @@ def _stereo_fast_core(
         out_w=out_w, out_h=out_h, crops_l=crops_l, crops_r=crops_r,
     )
     if pose_chunk and batch > pose_chunk:
-        n_chunks = -(-batch // pose_chunk)
-        pad_n = n_chunks * pose_chunk - batch
-
-        def _split(a):
-            if pad_n:
-                a = jnp.concatenate(
-                    [a, jnp.repeat(a[-1:], pad_n, axis=0)], axis=0
-                )
-            return a.reshape((n_chunks, pose_chunk) + a.shape[1:])
-
-        xs = (
-            _split(c1l_b), _split(c1r_b), _split(rotl_b), _split(rotr_b),
-            tuple({k: _split(v) for k, v in pp.items()} for pp in pp_l),
-            tuple({k: _split(v) for k, v in pp.items()} for pp in pp_r),
-        )
-        out = jax.lax.map(
+        return _pose_chunk_map(
             lambda x: _stereo_chunk_body(
                 fixed_l, fixed_r, x[0], x[1], x[2], x[3], x[4], x[5],
                 f2, background, **kw,
             ),
-            xs,
+            (c1l_b, c1r_b, rotl_b, rotr_b, pp_l, pp_r),
+            batch, pose_chunk,
         )
-        return out.reshape((n_chunks * pose_chunk,) + out.shape[2:])[:batch]
     return _stereo_chunk_body(
         fixed_l, fixed_r, c1l_b, c1r_b, rotl_b, rotr_b, pp_l, pp_r,
         f2, background, **kw,
@@ -1723,13 +1728,14 @@ def _stereo_chunk_body(
 
     def _eye(lay, c1_b, rot_b, plan, k_l, crop_y, mode, setup):
         if mode == "scaled":
-            splan, sk, fr = setup
+            splan, sk, fr, dxu, dyu = setup
             return _sweep_scaled.render_scaled_fetch_batch(
                 lay["rgb"], lay["disp"], lay["mask"],
                 lay["izmin"], lay["izmax"], c1_b, lay["focal"],
                 jnp.float32(fr), lay["grids"], zero_bg, splan, sk,
                 feathering=feathering, mask_mode=mask_mode,
                 to_srgb=False, refine=rot_refine, raw=True,
+                dx_user=dxu, dy_user=dyu,
             )
         if mode == "target":
             tplan, k_t = setup
@@ -2149,16 +2155,6 @@ def _fused_fast_core(
     fusion intermediates never exceed chunk x frame size."""
     batch = c1s[0].shape[0]
     if pose_chunk and batch > pose_chunk:
-        n_chunks = -(-batch // pose_chunk)
-        pad_n = n_chunks * pose_chunk - batch
-
-        def _split(a):
-            if pad_n:
-                a = jnp.concatenate(
-                    [a, jnp.repeat(a[-1:], pad_n, axis=0)], axis=0
-                )
-            return a.reshape((n_chunks, pose_chunk) + a.shape[1:])
-
         # per-pose snap tables are (B, K); shared grids (K,) stay fixed
         pp_tabs = tuple(
             tuple(
@@ -2191,15 +2187,9 @@ def _fused_fast_core(
                 fuse_tol=fuse_tol, pose_chunk=0,
             )
 
-        xs = (
-            tuple(_split(c1) for c1 in c1s),
-            tuple(
-                tuple({k: _split(v) for k, v in pp.items()} for pp in pps)
-                for pps in pp_tabs
-            ),
+        return _pose_chunk_map(
+            _chunk, (tuple(c1s), pp_tabs), batch, pose_chunk
         )
-        out = jax.lax.map(_chunk, xs)
-        return out.reshape((n_chunks * pose_chunk,) + out.shape[2:])[:batch]
     zero_bg = jnp.zeros(4, jnp.float32)
     view_rgb, view_a, view_front = [], [], []
     for layers, plan_l, num_l, m_mode, c1 in zip(

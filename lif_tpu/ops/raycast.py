@@ -29,6 +29,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .composite import smoothstep as _smoothstep
+
 from ..core.color import linear_to_srgb
 from ..core.transforms import inv3, mat_from_focal, mat_from_skew, mm, shader_rotation
 from .sampling import bilinear_sample, read_disp
@@ -45,11 +47,6 @@ __all__ = [
 
 NUM_STEPS = 40  # reference: rayCastMonoLDI.glsl:223
 MAX_LAYERS = 4  # reference: RaycastPlane.ts:218
-
-
-def _smoothstep(e0, e1, x):
-    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
-    return t * t * (3.0 - 2.0 * t)
 
 
 def taper(u, v, feathering):

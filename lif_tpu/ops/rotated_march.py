@@ -37,7 +37,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core.color import linear_to_srgb
+from . import composite as _composite
 from ..core.transforms import inv3, mat_from_focal, mm, shader_rotation
 from .sampling import _patch_table, bilinear_sample_packed, pack_rgbm
 from .sweep_scaled import ScaledPlan, render_scaled_batch
@@ -46,11 +46,6 @@ __all__ = [
     "intermediate_extent",
     "render_rotated_march_batch",
 ]
-
-
-def _smoothstep(e0, e1, x):
-    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
-    return t * t * (3.0 - 2.0 * t)
 
 
 def intermediate_extent(rot_list, f1, f2, out_w, out_h, guard_px=16.0,
@@ -305,31 +300,12 @@ def render_rotated_march_batch(
     v1 = s1y + 0.5
     sampled = bilinear_sample_packed(pack_rgbm(rgb, mask), u1, v1, w, h)
 
-    inside = (
-        (u1 > 0.0) & (u1 < 1.0) & (v1 > 0.0) & (v1 < 1.0)
-    ).astype(jnp.float32)
-    f = jnp.maximum(feathering, 1e-6)
-    tap = (
-        _smoothstep(0.0, f, u1) * (1.0 - _smoothstep(1.0 - f, 1.0, u1))
-        * _smoothstep(0.0, f, v1) * (1.0 - _smoothstep(1.0 - f, 1.0, v1))
+    hit, alpha = _composite.edge_alpha(
+        found_hat.astype(jnp.float32) * covered.astype(jnp.float32),
+        u1, v1, feathering, sampled[..., 3], mask_mode,
     )
-    hit = found_hat.astype(jnp.float32) * covered.astype(jnp.float32) * inside
-    alpha = hit * tap
-    if mask_mode == "multiply":
-        alpha = alpha * jnp.clip(sampled[..., 3], 0.0, 1.0)
-    elif mask_mode == "hard":
-        alpha = alpha * (sampled[..., 3] >= 0.5).astype(jnp.float32)
-        hit = hit * (sampled[..., 3] >= 0.5).astype(jnp.float32)
-    elif mask_mode != "none":
-        raise ValueError(f"unsupported mask_mode: {mask_mode}")
-
     if raw:
         return sampled, alpha, hit, invz_hat
-    acc_rgb = sampled[..., :3] * alpha[..., None]
-    out_rgb = (
-        background[:3] * background[3] * (1.0 - alpha[..., None]) + acc_rgb
+    return _composite.finish_over_background(
+        sampled[..., :3] * alpha[..., None], alpha, background, to_srgb
     )
-    out_a = background[3] + alpha * (1.0 - background[3])
-    if to_srgb:
-        out_rgb = linear_to_srgb(out_rgb)
-    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)

@@ -29,14 +29,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .composite import smoothstep as _smoothstep
+
 from ..core.color import linear_to_srgb
 
 __all__ = ["render_sweep_aligned", "solve_depth_aligned", "render_rotated"]
-
-
-def _smoothstep(e0, e1, x):
-    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
-    return t * t * (3.0 - 2.0 * t)
 
 
 def _axis_visibility(scale, shift_px, n_out, n_in, feathering):

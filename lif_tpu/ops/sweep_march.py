@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.color import linear_to_srgb
+from . import composite as _composite
 
 __all__ = [
     "TranslationPlan",
@@ -275,11 +275,6 @@ def pad_sources(plan: TranslationPlan, rgb, disp, mask):
     return dpad, cpad
 
 
-def _smoothstep(e0, e1, x):
-    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
-    return t * t * (3.0 - 2.0 * t)
-
-
 def preshift_source(arr, dx, dy):
     """Constant bilinear shift with edge clamp: out(x, y) = arr(x+dx, y+dy)
     (sampling positions clamped to the array).
@@ -361,24 +356,9 @@ def hit_and_alpha(
     # so the feather sits at the outpaint edges, not the crop
     u1 = (gx + 0.5) / plan.src_w
     v1 = (gy + crop_y + 0.5) / (plan.src_h + 2 * crop_y)
-    inside = (
-        (u1 > 0.0) & (u1 < 1.0) & (v1 > 0.0) & (v1 < 1.0)
-    ).astype(jnp.float32)
-    f = jnp.maximum(feathering, 1e-6)
-    tap = (
-        _smoothstep(0.0, f, u1) * (1.0 - _smoothstep(1.0 - f, 1.0, u1))
-        * _smoothstep(0.0, f, v1) * (1.0 - _smoothstep(1.0 - f, 1.0, v1))
+    return _composite.edge_alpha(
+        found, u1, v1, feathering, rgba_star[..., 3], mask_mode
     )
-    hit = found * inside
-    alpha = hit * tap
-    if mask_mode == "multiply":
-        alpha = alpha * jnp.clip(rgba_star[..., 3], 0.0, 1.0)
-    elif mask_mode == "hard":
-        alpha = alpha * (rgba_star[..., 3] >= 0.5).astype(jnp.float32)
-        hit = hit * (rgba_star[..., 3] >= 0.5).astype(jnp.float32)
-    elif mask_mode != "none":
-        raise ValueError(f"unsupported mask_mode: {mask_mode}")
-    return hit, alpha
 
 
 def erode_mask_for_stereo(mask):
@@ -438,14 +418,9 @@ def _finalize(
     )
     if raw:
         return rgba_star, alpha, hit, invz_star
-
-    background = jnp.asarray(background, jnp.float32)
-    acc_rgb = rgba_star[..., :3] * alpha[..., None]
-    out_rgb = background[:3] * background[3] * (1.0 - alpha[..., None]) + acc_rgb
-    out_a = background[3] + alpha * (1.0 - background[3])
-    if to_srgb:
-        out_rgb = linear_to_srgb(out_rgb)
-    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+    return _composite.finish_over_background(
+        rgba_star[..., :3] * alpha[..., None], alpha, background, to_srgb
+    )
 
 
 @functools.partial(

@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.color import linear_to_srgb
+from . import composite as _composite
 
 __all__ = [
     "TargetPlan",
@@ -661,36 +661,11 @@ def finalize_target(
     v = jnp.clip(vstar, izmax, izmin)
     u1 = (ax + v * dxf + 0.5) / src_w
     v1 = (ay + v * dyf + 0.5) / src_h
-
-    def ss(e0, e1, x):
-        t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
-        return t * t * (3.0 - 2.0 * t)
-
-    inside = (
-        (u1 > 0.0) & (u1 < 1.0) & (v1 > 0.0) & (v1 < 1.0)
-    ).astype(jnp.float32)
-    f = jnp.maximum(feathering, 1e-6)
-    tap = (
-        ss(0.0, f, u1) * (1.0 - ss(1.0 - f, 1.0, u1))
-        * ss(0.0, f, v1) * (1.0 - ss(1.0 - f, 1.0, v1))
+    hit, alpha = _composite.edge_alpha(
+        found, u1, v1, feathering, rgba[..., 3], mask_mode
     )
-    hit = found * inside
-    alpha = hit * tap
-    if mask_mode == "multiply":
-        alpha = alpha * jnp.clip(rgba[..., 3], 0.0, 1.0)
-    elif mask_mode == "hard":
-        keep = (rgba[..., 3] >= 0.5).astype(jnp.float32)
-        alpha = alpha * keep
-        hit = hit * keep
-    elif mask_mode != "none":
-        raise ValueError(f"unsupported mask_mode: {mask_mode}")
     if raw:
         return rgba, alpha, hit, jnp.where(found > 0.0, vstar, 0.0)
-    acc = rgba[..., :3] * alpha[..., None]
-    out_rgb = (
-        background[:3] * background[3] * (1.0 - alpha[..., None]) + acc
+    return _composite.finish_over_background(
+        rgba[..., :3] * alpha[..., None], alpha, background, to_srgb
     )
-    out_a = background[3] + alpha * (1.0 - background[3])
-    if to_srgb:
-        out_rgb = linear_to_srgb(out_rgb)
-    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)

@@ -119,3 +119,38 @@ def test_skewed_stereo_fast(rng):
     fast = render_stereo_fast(left, right, cam, num_planes=160)
     p = _psnr(fast, exact)
     assert p > 35.0, f"skewed stereo fast only {p:.1f} dB"
+
+
+def test_skewed_stereo_fast_scaled_tier(rng):
+    """Skewed stereo with a march-INELIGIBLE layer (f1 != f2 zoom): the
+    layer routes the scaled tier, which must still apply the per-eye
+    frustum fold (dx as a constant warp shift, dy via the kernel's
+    dy_user) — a dropped fold misaligns the layer by f1*dsk pixels
+    against the exact kernel (review finding, round 3)."""
+    from lif_tpu import projector_from_arrays, render_stereo_fast
+    from lif_tpu.models.renderer import render_stereo_view
+
+    h, w = 96, 128
+    rgb, disp = _scene(rng, h, w)
+    rgb2 = np.roll(rgb, 3, axis=1)
+
+    def proj(r, x, sk):
+        return projector_from_arrays(
+            r, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.1,
+            baseline=1.0, position=(x, 0.0, 0.0), skew=sk,
+        )
+
+    left = proj(rgb, -0.03, (0.015, 0.008))
+    right = proj(rgb2, 0.03, (-0.015, 0.0))
+    # camera focal != projector focal -> _march_eligible is False for
+    # every layer; lateral poses + skew exercise the scaled-tier fold
+    cam = Camera.create(
+        w, h, focal_px=0.9 * w, position=[0.01, 0.0, 0.0],
+        skew=(0.005, 0.0),
+    )
+    exact = render_stereo_view(left, right, cam, num_steps=160)
+    fast = render_stereo_fast(left, right, cam, num_planes=160)
+    p = _psnr(fast, exact)
+    # bound: the 160-step oracle march discretization (same class as
+    # test_skewed_stereo_fast) plus the scaled tier's off-snap sampling
+    assert p > 33.0, f"skewed scaled-tier stereo only {p:.1f} dB"
