@@ -26,12 +26,24 @@ device-resident; one D2H sync per timed pass.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-W, H = 1280, 800
-REPS = 5
+# BENCH_SMOKE=1: shrink every axis so the whole script (all five configs
+# + the scaling subprocess) runs end-to-end on the CPU backend in
+# minutes — validates the plumbing before spending a TPU session. The
+# smoke scene is scale 2 (640x400), which keeps the rotated target-ray
+# tier eligible (640 = 5 * 128), so config1 exercises the REAL path.
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+W, H = (640, 400) if SMOKE else (1280, 800)
+REPS = 1 if SMOKE else 5
+CONV_STEPS = 64 if SMOKE else 640
+ORBIT_FRAMES = 12 if SMOKE else 120
+N_PAIRS = 4 if SMOKE else 60
+BATCH_STREAM = 8 if SMOKE else 40
+BATCH_BIG = 16 if SMOKE else 400
 
 
 def _sync(x):
@@ -72,17 +84,19 @@ def main():
 
     from examples.render_sfmoma import build_sfmoma_lif
 
-    result = load_lif_file(build_sfmoma_lif())
+    result = load_lif_file(build_sfmoma_lif(scale=2 if SMOKE else 1))
     proj = result.projectors[0].to_device()
     focal = float(proj.focal[0])
     results = {}
+    if SMOKE:
+        results["_smoke"] = "BENCH_SMOKE=1: tiny axes, numbers not valid"
 
     def cam_at(pos, rot=None):
         return Camera.create(W, H, focal_px=focal, position=pos, rotation=rot)
 
     def converged(cam, **kw):
         return render(proj, cam, mode="raycast", mask_mode="none",
-                      num_steps=640, **kw)
+                      num_steps=CONV_STEPS, **kw)
 
     # ---- config 0: fixed novel view, snap-plane march ----
     fixed_pos = np.array([0.135, 0.0, 0.0])
@@ -97,7 +111,8 @@ def main():
     def _reduce(img):
         return jnp.sum(img) * 1e-9
 
-    poses0 = [fixed_pos + [0.001 * i, 0, 0] for i in range(20)]
+    poses0 = [fixed_pos + [0.001 * i, 0, 0]
+              for i in range(4 if SMOKE else 20)]
     _ = _sync(render_fast_view(proj, cam_at(poses0[0]), method="march"))
 
     def seq_pass():
@@ -107,24 +122,28 @@ def main():
 
     seq_pass()
     fps_seq = _median_rate(seq_pass, len(poses0), reps=3)
-    cams0b = [cam_at(fixed_pos + [0.0005 * i, 0, 0]) for i in range(40)]
+    cams0b = [cam_at(fixed_pos + [0.0005 * i, 0, 0])
+              for i in range(BATCH_STREAM)]
     _ = float(_reduce(render_fast_batch(proj, cams0b)))
 
+    bp_reps = 2 if SMOKE else 4
+
     def batch_pass():
-        acc = [_reduce(render_fast_batch(proj, cams0b)) for _ in range(4)]
+        acc = [_reduce(render_fast_batch(proj, cams0b))
+               for _ in range(bp_reps)]
         _ = float(jnp.sum(jnp.stack(acc)))
 
-    fps_batch = _median_rate(batch_pass, 4 * len(cams0b))
+    fps_batch = _median_rate(batch_pass, bp_reps * len(cams0b))
 
     # single-dispatch pose-chunked batch (the production trajectory
     # shape) + a DEVICE-time estimate: the marginal cost per frame
     # between two single-dispatch batch sizes cancels the relay's fixed
     # ~50 ms per-dispatch overhead that wall fps carries
-    cams0_400 = [cam_at(fixed_pos + [0.02 * i / 400, 0, 0])
-                 for i in range(400)]
+    cams0_400 = [cam_at(fixed_pos + [0.02 * i / BATCH_BIG, 0, 0])
+                 for i in range(BATCH_BIG)]
     _ = float(_reduce(render_fast_batch(proj, cams0_400)))
 
-    def _one_dispatch_seconds(cams, reps=5):
+    def _one_dispatch_seconds(cams, reps=2 if SMOKE else 5):
         ts = []
         for _ in range(reps):
             t0 = time.time()
@@ -134,8 +153,8 @@ def main():
 
     t40 = _one_dispatch_seconds(cams0b)
     t400 = _one_dispatch_seconds(cams0_400)
-    fps_batch400 = 400.0 / t400
-    fps_device = (400 - 40) / max(t400 - t40, 1e-9)
+    fps_batch400 = float(BATCH_BIG) / t400
+    fps_device = (BATCH_BIG - BATCH_STREAM) / max(t400 - t40, 1e-9)
 
     t0 = time.time()
     _sync(render(proj, cam_at(poses0[0]), mode="raycast", mask_mode="none"))
@@ -159,7 +178,7 @@ def main():
     # ---- config 1: 120-frame orbit, ONE pose-chunked dispatch ----
     orbit_poses = [
         orbit_pose(result.orbit_center, 1.0, theta=np.deg2rad(t))
-        for t in np.linspace(-15, 15, 120)
+        for t in np.linspace(-15, 15, ORBIT_FRAMES)
     ]
     cams = [cam_at(p, r) for p, r in orbit_poses]
 
@@ -176,11 +195,11 @@ def main():
     # and the routed-tier report
     out_all, tiers = render_fast_batch(proj, cams, return_tiers=True)
     qs = []
-    for idx in (0, 30, 60):
+    for idx in (0, ORBIT_FRAMES // 4, ORBIT_FRAMES // 2):
         qs.append(_psnr(np.asarray(out_all[idx]), converged(cams[idx])))
     del out_all
     results["config1_orbit_120"] = {
-        "frames": 120,
+        "frames": ORBIT_FRAMES,
         "batched_fps": round(fps_orbit, 1),
         "ms_per_frame": round(1000.0 / fps_orbit, 1),
         "dispatches": 1,
@@ -197,12 +216,12 @@ def main():
     _sys.path.insert(0, "examples")
     from multiview_demo import build_stereo_lif
 
-    stereo = load_lif_file(build_stereo_lif())
+    stereo = load_lif_file(build_stereo_lif(scale=2 if SMOKE else 1))
     left = stereo.projectors[0].to_device()
     right = stereo.projectors[1].to_device()
     # 60 pairs = 120 eye outputs in ONE pose-chunked dispatch (8 pairs
     # left the ~50 ms relay overhead dominant)
-    n_pairs = 60
+    n_pairs = N_PAIRS
     stereo_cams = []
     eye = float(left.baseline) / 2.0
     for i in range(n_pairs):
@@ -219,12 +238,30 @@ def main():
     # mid-baseline pose (the stereo shader's own math at 640 steps)
     q_cam = cam_at([0.004, 0.0, 0.0])
     fast_pair = render_stereo_fast_batch(left, right, [q_cam])[0]
-    exact_pair = render_stereo_view(left, right, q_cam, num_steps=640)
+    exact_pair = render_stereo_view(left, right, q_cam,
+                                    num_steps=CONV_STEPS)
     q_stereo = _psnr(fast_pair, exact_pair)
+    # ROTATED head pose (the reference stereo shader's default ability,
+    # rayCastStereoLDI.glsl:368-436; round-2 VERDICT item 4): a 6-deg
+    # yaw through the per-eye march tiers vs the exact two-view kernel
+    th = np.deg2rad(6.0)
+    rot_head = np.array([
+        [np.cos(th), 0.0, np.sin(th)],
+        [0.0, 1.0, 0.0],
+        [-np.sin(th), 0.0, np.cos(th)],
+    ])
+    qr_cam = cam_at([0.004, 0.0, 0.0], rot_head)
+    fast_rot = render_stereo_fast_batch(left, right, [qr_cam])[0]
+    exact_rot = render_stereo_view(left, right, qr_cam,
+                                   num_steps=CONV_STEPS)
+    q_stereo_rot = _psnr(fast_rot, exact_rot)
     results["config2_stereo_pair"] = {
         "stereo_pairs_per_sec": round(pairs_rate, 1),
         "ms_per_pair": round(1000.0 / pairs_rate, 1),
         "psnr_vs_exact_stereo_dB": round(float(q_stereo), 2),
+        "rotated_head_psnr_vs_exact_stereo_dB": round(
+            float(q_stereo_rot), 2
+        ),
         "pair": "coherent: right eye SYNTHESIZED from the left view "
                 "(multiview_demo.build_stereo_lif); round-2 VERDICT "
                 "item 5 replaced the duplicated-imagery pair",
@@ -253,8 +290,9 @@ def main():
     ).to_device()
     # 200-pose single pose-chunked dispatch (the production trajectory
     # shape; 20 poses leave the ~50 ms relay overhead dominant)
-    cams3 = [cam_at(fixed_pos + [0.02 * i / 200, 0, 0])
-             for i in range(200)]
+    n3 = 24 if SMOKE else 200
+    cams3 = [cam_at(fixed_pos + [0.02 * i / n3, 0, 0])
+             for i in range(n3)]
     _ = _sync(render_fast_batch(proj3, cams3))
 
     def ldi_pass():
@@ -262,7 +300,8 @@ def main():
 
     ldi_rate = _median_rate(ldi_pass, len(cams3))
     ldi_fast = render_fast_batch(proj3, cams3[:1])[0]
-    ldi_conv = render(proj3, cams3[0], mode="raycast", num_steps=640)
+    ldi_conv = render(proj3, cams3[0], mode="raycast",
+                      num_steps=CONV_STEPS)
     q_ldi = _psnr(ldi_fast, ldi_conv)
     results["config3_ldi_3layer"] = {
         "layers": 3,
@@ -280,7 +319,7 @@ def main():
     # four different scenes and make the fusion merge ill-posed
     from lif_tpu import synthesize_projector
 
-    W4, H4 = 3840, 2160
+    W4, H4 = (1280, 800) if SMOKE else (3840, 2160)
     scale = W4 / W
     synths = [
         synthesize_projector(result.projectors[0],
@@ -382,7 +421,9 @@ def main():
         "generated_by": "bench_configs.py (on-chip) + bench_scaling.py "
                         "(virtual CPU mesh subprocess)",
     }
-    with open("BENCH_DETAILS.json", "w") as f:
+    # smoke runs must not clobber the real evidence table
+    out_path = "BENCH_DETAILS_SMOKE.json" if SMOKE else "BENCH_DETAILS.json"
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results), flush=True)
 

@@ -47,7 +47,9 @@ def main():
     focal = float(proj.focal[0])
 
     # ---- tile-sharded 4K scaling ----
-    w4, h4 = 3840, 2160
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    w4, h4 = (1280, 800) if smoke else (3840, 2160)
+    conv_steps = 64 if smoke else 640
     scale = w4 / 1280
     base4 = resample_projector(proj, scale, out_w=w4, out_h=h4)
     focal4 = float(base4.focal[0])
@@ -131,12 +133,19 @@ def main():
                 )
                 for i in range(4)
             ]
-        cam1k = Camera.create(1280, 800, focal_px=focal,
+        # dims from the fast image itself and focal from the projector
+        # pack (the smoke scene is 640x400 at half focal)
+        h1k, w1k = fast_fused.shape[:2]
+        focal_cam = (
+            float(np.load(synth_path)["focal"])
+            if os.path.exists(synth_path) else focal
+        )
+        cam1k = Camera.create(w1k, h1k, focal_px=focal_cam,
                               position=[0.05, 0.0, 0.0])
         mesh4 = sharding.make_mesh(("view",), shape=(4,),
                                    devices=jax.devices()[:4])
         conv = np.asarray(sharding.render_fused_projectors(
-            projs, cam1k, mesh4, num_steps=640
+            projs, cam1k, mesh4, num_steps=conv_steps
         ))
         mse = np.mean((fast_fused[..., :3] - conv[..., :3]) ** 2)
         out["config4_psnr_vs_converged_dB"] = round(
@@ -149,7 +158,7 @@ def main():
         if os.path.exists(tol_path):
             fast_tol = np.load(tol_path)
             conv_tol = np.asarray(sharding.render_fused_projectors(
-                projs, cam1k, mesh4, num_steps=640, fuse_tol=0.1
+                projs, cam1k, mesh4, num_steps=conv_steps, fuse_tol=0.1
             ))
             mse_t = np.mean((fast_tol[..., :3] - conv_tol[..., :3]) ** 2)
             out["config4_psnr_vs_converged_dB_fuse_tol_0.1"] = round(

@@ -31,7 +31,7 @@ import sys
 import numpy as np
 
 
-def build_stereo_lif(small=False) -> bytes:
+def build_stereo_lif(small=False, scale=1) -> bytes:
     """Author a 2-view stereo LIF. The right-eye view is SYNTHESIZED from
     the left with the renderer (novel view + solved depth at +baseline):
     duplicating one image at two positions would describe two DIFFERENT
@@ -52,7 +52,7 @@ def build_stereo_lif(small=False) -> bytes:
 
     from render_sfmoma import sfmoma_assets
 
-    jpeg, depth, w, h = sfmoma_assets(small)
+    jpeg, depth, w, h = sfmoma_assets(small, scale)
 
     # load the LEFT view alone, synthesize the RIGHT eye from it
     mono = {
