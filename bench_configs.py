@@ -262,6 +262,10 @@ def main():
         "rotated_head_psnr_vs_exact_stereo_dB": round(
             float(q_stereo_rot), 2
         ),
+        "rotated_head_bound": "occlusion-fill rule sensitivity vs the "
+                              "sequential exact kernel, not plane "
+                              "density (halving target_step_px measured "
+                              "+0.2 dB)",
         "pair": "coherent: right eye SYNTHESIZED from the left view "
                 "(multiview_demo.build_stereo_lif); round-2 VERDICT "
                 "item 5 replaced the duplicated-imagery pair",
