@@ -95,6 +95,8 @@ def _kernel(
     izt,  # (B, K) f32: per-pose plane inverse depths, near -> far
     tkt,  # (B, K) f32: per-pose plane thresholds in TEXEL units
     cm3,  # (Wp/8, Hc) f32: sliding window max of coarse disp (skip table)
+    klo_t,  # (B, nb, Hc) i32: first plane whose skip test can pass
+    khi_t,  # (B, nb, Hc) i32: exclusive end — window MIN in front there
     src_hbm,  # (5, Wp, Hp) f32 ANY: r, g, b, mask, disp — TRANSPOSED
     out_ref,  # (1, 6, tw, lc) VMEM out block (pose-major)
     blk,  # (5, bw, lc) f32 VMEM scratch: this tile's source window
@@ -194,7 +196,16 @@ def _kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, num_planes, pass1, 0)
+    # bounded plane loop (exact): before k_lo the skip test provably
+    # fails (cm3 <= threshold for every earlier plane at its own cell),
+    # and at khi-1 the window MIN is strictly in front, so every
+    # not-yet-found pixel crosses there — planes outside [klo, khi) do
+    # nothing in the dense loop. Mean trip measured 38 of 271 planes on
+    # the SFMoMA bench pose (scratch/skip_stats.py), a ~7x cut of the
+    # per-plane fixed cost.
+    k_lo = klo_t[p, b, c]
+    k_hi = khi_t[p, b, c]
+    jax.lax.fori_loop(k_lo, k_hi, pass1, 0)
 
     # per-pixel secant parameter from the frozen bracket (one divide total,
     # not one per plane). The texel-space diffs give the same ratio as the
@@ -275,7 +286,8 @@ def _kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, num_planes, pass2, 0)
+    # same bounds: crossings exist only at planes pass1 visited
+    jax.lax.fori_loop(k_lo, k_hi, pass2, 0)
 
 
 @functools.partial(
@@ -323,8 +335,35 @@ def _sweep_lateral(
         [padded[i : i + ncells] for i in range(span)], axis=0
     ).max(axis=0)  # (ncells, Hc)
 
+    # bounded-loop tables (exact; see the kernel comment): k_lo = first
+    # plane whose sliding-MAX skip test passes at its own cell; k_hi =
+    # one past the first plane whose sliding-window MIN is strictly in
+    # front (every readable texel ahead => every remaining pixel crosses
+    # there). Computed dense over (B, K, nb, Hc) — a few M elementwise
+    # ops, trivial next to the render itself.
+    cmin = src_t[4].reshape(ncells, _COARSE, hp // lc, lc).min(axis=(1, 3))
+    padded_n = jnp.pad(cmin, ((0, span - 1), (0, 0)), mode="edge")
+    cmin3 = jnp.stack(
+        [padded_n[i : i + ncells] for i in range(span)], axis=0
+    ).min(axis=0)  # (ncells, Hc)
+    ixs_i = ix_t.astype(jnp.int32).reshape(batch, num_planes)
+    band_cell = jnp.arange(w // tw, dtype=jnp.int32) * (tw // _COARSE)
+    co_all = band_cell[None, None, :] + (ixs_i // _COARSE)[:, :, None]
+    thr_b = tkt[:, :, None, None]  # (B, K, 1, 1)
+    act = cm3[co_all] > thr_b      # (B, K, nb, Hc)
+    fin = cmin3[co_all] > thr_b
+    klo = jnp.where(
+        act.any(axis=1), jnp.argmax(act, axis=1), num_planes
+    )
+    khi = jnp.where(
+        fin.any(axis=1), jnp.argmax(fin, axis=1) + 1, num_planes
+    )
+    khi = jnp.maximum(jnp.minimum(khi, num_planes), klo)
+    klo_t = klo.astype(jnp.int32)
+    khi_t = khi.astype(jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(w // tw, hp // lc, batch),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -354,11 +393,13 @@ def _sweep_lateral(
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        ix_t.astype(jnp.int32).reshape(batch, num_planes),
+        ixs_i,
         fx_t.astype(jnp.float32).reshape(batch, num_planes),
         izt,
         tkt,
         cm3,
+        klo_t,
+        khi_t,
         src_t,
     )
     # transpose back to image orientation and drop the lane padding
