@@ -58,6 +58,8 @@ _COARSE = 8  # coarse skip-table cell width in x (one sublane group)
 
 def _kernel(
     cm3,  # (Wp/8, Hc) f32 scalar prefetch: sliding-window disp max
+    klo_t,  # (B, nb, Hc) i32 prefetch: first plane whose skip test can pass
+    khi_t,  # (B, nb, Hc) i32 prefetch: exclusive end (window MIN in front)
     tab_ref,  # (1, 6, K) SMEM, pose-blocked: tx, ex, ty, ey, izt, tkt
     src_hbm,  # (C, Wp, Hp) f32 ANY — C=5 (full) or 1 (depth_only: disp)
     out_ref,  # (1, OC, tw, lc) VMEM out block
@@ -284,7 +286,12 @@ def _kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, num_planes, pass1, 0)
+    # bounded plane loop (exact — see ops/pallas/sweep_march.py): before
+    # k_lo the skip test provably fails; at khi-1 the sliding-window MIN
+    # is strictly in front so every remaining pixel crosses
+    k_lo = klo_t[p, b, c]
+    k_hi = khi_t[p, b, c]
+    jax.lax.fori_loop(k_lo, k_hi, pass1, 0)
 
     # secant parameter from the frozen bracket (k* == 0 snaps to t = 1)
     t = jnp.clip(
@@ -359,30 +366,34 @@ def _kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, num_planes, pass2, 0)
+    # same bounds: crossings exist only at planes pass1 visited
+    jax.lax.fori_loop(k_lo, k_hi, pass2, 0)
 
 
-def _build_cm3(plan: ScaledPlan, src_t):
-    """Sliding-window max of the (padded) source disparity: cm3[co, c]
-    bounds every texel a plane slab based at coarse cell co in band
-    co//(tw/8), y-chunk c can read (x: the slab's twx sublanes + one
-    cell of base slack; y: the full (ky_lo+1+ky_hi)-chunk window)."""
+def _build_cm3(plan: ScaledPlan, src_t, reduce=jnp.max):
+    """Sliding-window max (or min, for the bounded-loop tail test) of
+    the (padded) source disparity: cm3[co, c] bounds every texel a plane
+    slab based at coarse cell co in band co//(tw/8), y-chunk c can read
+    (x: the slab's twx sublanes + one cell of base slack; y: the full
+    (ky_lo+1+ky_hi)-chunk window)."""
     wp, hp = src_t.shape[1], src_t.shape[2]
     ncells = wp // _COARSE
     nchunk = hp // _LC
-    cmax = src_t[-1].reshape(ncells, _COARSE, nchunk, _LC).max(axis=(1, 3))
+    ax = (1, 3)
+    red = (lambda a, axis: reduce(a, axis=axis))
+    cmax = red(src_t[-1].reshape(ncells, _COARSE, nchunk, _LC), ax)
     # y: each kernel window covers chunks [c, c + ky_lo + ky_hi]
     yspan = plan.ky_lo + 1 + plan.ky_hi
     cpad = jnp.pad(cmax, ((0, 0), (0, yspan - 1)), mode="edge")
-    cm2 = jnp.stack(
+    cm2 = red(jnp.stack(
         [cpad[:, i : i + nchunk] for i in range(yspan)], axis=0
-    ).max(axis=0)
+    ), 0)
     # x: slab reach from the base cell
     span = plan.twx // _COARSE + 2
     xpad = jnp.pad(cm2, ((0, span - 1), (0, 0)), mode="edge")
-    return jnp.stack(
+    return red(jnp.stack(
         [xpad[i : i + ncells] for i in range(span)], axis=0
-    ).max(axis=0)  # (ncells, Hc)
+    ), 0)  # (ncells, Hc)
 
 
 @functools.partial(
@@ -407,8 +418,58 @@ def _sweep_scaled(
     oc = 2 if depth_only else 6
     nch = 1 if depth_only else 5
 
+    # bounded-loop tables (exact; see the kernel comment and the lateral
+    # kernel's twin): replicate pass1's skip-index math over (B, K, nb)
+    # and scan for the first plane whose sliding-MAX test passes (k_lo)
+    # and the first whose sliding-MIN is strictly in front (k_hi - 1)
+    cmin3 = _build_cm3(plan, src_t, reduce=jnp.min)
+    nb = w // tw
+    cx0 = (plan.out_w - 1) / 2.0
+    x0f_b = jnp.arange(nb, dtype=jnp.float32) * tw - cx0  # (nb,)
+    plx = float(plan.pad_lo_x)
+    spanx = float(plan.tab_span_x)
+    tx_t = tabs[:, 0, :]  # (B, K)
+    ex_t = tabs[:, 1, :]
+    thr_t = tabs[:, 5, :]
+    dxa = jnp.clip(
+        tx_t[:, :, None] + ex_t[:, :, None] * x0f_b[None, None, :] + plx,
+        0.0, spanx,
+    )
+    dxb = jnp.clip(
+        tx_t[:, :, None]
+        + ex_t[:, :, None] * (x0f_b + tw - 1)[None, None, :] + plx,
+        0.0, spanx,
+    )
+    bmin = jnp.floor(jnp.minimum(dxa, dxb)).astype(jnp.int32)  # (B, K, nb)
+    band_cell = jnp.arange(nb, dtype=jnp.int32) * (tw // _COARSE)
+    co_all = band_cell[None, None, :] + bmin // _COARSE
+    # conservative by construction: this twin RECOMPUTES the kernel's
+    # f32 skip-index math, and compiler FMA contraction can differ by an
+    # ulp — enough to flip a floor() at razor-edge values. Evaluate the
+    # activity test over the {co-1, co, co+1} cell neighborhood (max for
+    # act, min for fin) and widen the plane range by one on each side,
+    # so any one-cell or one-plane disagreement is absorbed.
+    ncl = cm3.shape[0]
+    thr_e = thr_t[:, :, None, None]
+    act = jnp.zeros(co_all.shape + (cm3.shape[1],), bool)
+    fin = jnp.ones(co_all.shape + (cm3.shape[1],), bool)
+    for d in (-1, 0, 1):
+        cod = jnp.clip(co_all + d, 0, ncl - 1)
+        act = act | (cm3[cod] > thr_e)
+        fin = fin & (cmin3[cod] > thr_e)
+    klo = jnp.where(
+        act.any(axis=1), jnp.argmax(act, axis=1) - 1, num_planes
+    )
+    klo = jnp.maximum(klo, 0)
+    khi = jnp.where(
+        fin.any(axis=1), jnp.argmax(fin, axis=1) + 2, num_planes
+    )
+    khi = jnp.maximum(jnp.minimum(khi, num_planes), klo)
+    klo_t = klo.astype(jnp.int32)
+    khi_t = khi.astype(jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(w // tw, hp // lc, batch),
         in_specs=[
             pl.BlockSpec(
@@ -446,7 +507,7 @@ def _sweep_scaled(
         out_shape=jax.ShapeDtypeStruct((batch, oc, w, hp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cm3, tabs, src_t)
+    )(cm3, klo_t, khi_t, tabs, src_t)
     # back to image orientation, drop lane padding
     out = out[:, :, :, : plan.out_h].transpose(0, 1, 3, 2)  # (B, oc, H, W)
     if depth_only:

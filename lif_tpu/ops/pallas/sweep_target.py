@@ -82,6 +82,8 @@ def _kernel(
     xlo,  # (ng,) i32 scalar prefetch: per-group window x origin (padded)
     ylo,  # (ng, nc) i32: per-(group, chunk) window y origin (128-aligned)
     cm3,  # (ncellx, nc) f32: sliding disp max over plan.gspan cells
+    klo_t,  # (B, ng, nc) i32: first plane whose skip test can pass
+    khi_t,  # (B, ng, nc) i32: exclusive end (window MIN in front)
     pose_ref,  # (1, 1, 16) SMEM pose scalars: p_ts row-major, c_vec
     vt_ref,  # (1, 2, K) SMEM: plane invz (desc) + texel thresholds
     src_hbm,  # (C, Wp, Hp) f32 ANY — r,g,b,mask,disp (C=5) or disp (C=1)
@@ -374,7 +376,14 @@ def _kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, num_planes, pass1, 0)
+    # bounded plane loop (exact — see ops/pallas/sweep_march.py): before
+    # k_lo the skip test provably fails (including the bucketed ladder's
+    # padding planes, whose thresholds exceed every texel), and at khi-1
+    # the sliding-window MIN is strictly in front so every remaining
+    # pixel crosses
+    k_lo = klo_t[p, g, c]
+    k_hi = khi_t[p, g, c]
+    jax.lax.fori_loop(k_lo, k_hi, pass1, 0)
 
     t = jnp.clip(
         pdiffc[:] / jnp.minimum(pdiffc[:] - diffc[:], -1e-12), 0.0, 1.0
@@ -399,7 +408,7 @@ def _kernel(
 
             return 0
 
-        jax.lax.fori_loop(0, num_planes, pass2d, 0)
+        jax.lax.fori_loop(k_lo, k_hi, pass2d, 0)
         # 2-channel output block: [invz, found] — no color channels
         out_ref[0, 1] = (kstar[:] > -0.5).astype(jnp.float32).T
         out_ref[0, 0] = izout[:].T
@@ -465,7 +474,8 @@ def _kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, num_planes, pass2, 0)
+    # same bounds: crossings exist only at planes pass1 visited
+    jax.lax.fori_loop(k_lo, k_hi, pass2, 0)
 
     out_ref[0, 5] = (kstar[:] > -0.5).astype(jnp.float32).T
     out_ref[0, 4] = izout[:].T
@@ -473,26 +483,27 @@ def _kernel(
         out_ref[0, ch] = cout[ch].T
 
 
-def _build_cm3(plan: TargetPlan, src_t, nc):
-    """Sliding disp max: cm3[cellx, c] bounds every texel a plane can
-    read while serving y-chunk c, for any slab whose group-minimum base
-    lands in 8-px source cell `cellx` (sliding span = plan.gspan cells;
-    the y range is the exact union of the chunk's window table)."""
+def _build_cm3(plan: TargetPlan, src_t, nc, reduce=jnp.max):
+    """Sliding disp max (or min, for the bounded-loop tail test):
+    cm3[cellx, c] bounds every texel a plane can read while serving
+    y-chunk c, for any slab whose group-minimum base lands in 8-px
+    source cell `cellx` (sliding span = plan.gspan cells; the y range is
+    the exact union of the chunk's window table)."""
     wp, hp = src_t.shape[1], src_t.shape[2]
     ncellx = wp // _COARSE
-    cmax_cell = src_t[-1].reshape(ncellx, _COARSE, hp).max(axis=1)
+    cmax_cell = reduce(src_t[-1].reshape(ncellx, _COARSE, hp), axis=1)
     ys = []
     for ci in range(nc):
         lo, hi = plan.cm_ylims[ci]
         lo = max(0, min(lo, hp))
         hi = max(lo + 1, min(hi, hp))
-        ys.append(cmax_cell[:, lo:hi].max(axis=1))
+        ys.append(reduce(cmax_cell[:, lo:hi], axis=1))
     cm2 = jnp.stack(ys, axis=1)  # (ncellx, nc)
     span = plan.gspan
     xpad = jnp.pad(cm2, ((0, span - 1), (0, 0)), mode="edge")
-    return jnp.stack(
+    return reduce(jnp.stack(
         [xpad[i : i + ncellx] for i in range(span)], axis=0
-    ).max(axis=0)
+    ), axis=0)
 
 
 @functools.partial(
@@ -519,6 +530,70 @@ def _sweep_target(
     hp = plan.hp_out
     nc = hp // _LC
     cm3 = _build_cm3(plan, src_t, nc)
+
+    # bounded-loop tables (exact; see the kernel comment): replicate
+    # pass1's skip-index math over (B, K, ng, nc) with the pose
+    # homography evaluated exactly as the kernel does (group edges at
+    # the chunk-center row), then scan for the first plane whose
+    # sliding-MAX test passes (k_lo) and the first whose sliding-MIN is
+    # strictly in front (k_hi - 1)
+    cmn3 = _build_cm3(plan, src_t, nc, reduce=jnp.min)
+    w_out, h_out = float(plan.out_w), float(plan.out_h)
+    w_src = float(plan.src_w)
+    pb = pose_b.astype(jnp.float32)  # (B, 16)
+    p00, p01, p02 = pb[:, 0], pb[:, 1], pb[:, 2]
+    p20, p21, p22 = pb[:, 6], pb[:, 7], pb[:, 8]
+    cv0, cv2 = pb[:, 9], pb[:, 11]
+    g_idx = jnp.arange(ng, dtype=jnp.float32) * _GW      # (ng,)
+    c_idx = jnp.arange(nc, dtype=jnp.float32) * _LC      # (nc,)
+    syc = (c_idx + _LC / 2.0 + 0.5) / h_out - 0.5        # (nc,)
+    xoff = (float(plan.pad_x) - xlo.astype(jnp.float32))  # (ng,)
+
+    def _edge(sx_g):  # sx_g: (ng,) -> ax, dx of shape (B, ng, nc)
+        sx = sx_g[None, :, None]
+        sy = syc[None, None, :]
+        den = p20[:, None, None] * sx + p21[:, None, None] * sy \
+            + p22[:, None, None]
+        qx = (p00[:, None, None] * sx + p01[:, None, None] * sy
+              + p02[:, None, None]) / den
+        ax = (qx + 0.5) * w_src - 0.5 + xoff[None, :, None]
+        dx = (cv0[:, None, None] - cv2[:, None, None] * qx) * w_src
+        return ax, dx
+
+    ax_gl, dx_gl = _edge((g_idx + 0.5) / w_out - 0.5)
+    ax_gr, dx_gr = _edge((g_idx + _GW - 1 + 0.5) / w_out - 0.5)
+    v_t = vt_b[:, 0, :]    # (B, K)
+    thr_t = vt_b[:, 1, :]
+    gpa = ax_gl[:, None] + v_t[:, :, None, None] * dx_gl[:, None]
+    gpb = ax_gr[:, None] + v_t[:, :, None, None] * dx_gr[:, None]
+    gmin = jnp.clip(
+        jnp.minimum(gpa, gpb) - 16.0, 0.0, float(plan.bw - _TWX)
+    ).astype(jnp.int32)                                   # (B, K, ng, nc)
+    co_all = (xlo.astype(jnp.int32)[None, None, :, None] + gmin) // _COARSE
+    c_ids = jnp.arange(nc, dtype=jnp.int32)[None, None, None, :]
+    # conservative by construction: this twin RECOMPUTES the kernel's
+    # f32 homography/skip-index math, and compiler FMA contraction can
+    # differ by an ulp — enough to flip a floor() at razor-edge values.
+    # Evaluate over the {co-1, co, co+1} cell neighborhood (max for act,
+    # min for fin) and widen the plane range by one on each side.
+    ncl = cm3.shape[0]
+    thr_e = thr_t[:, :, None, None]
+    act = jnp.zeros(co_all.shape, bool)
+    fin = jnp.ones(co_all.shape, bool)
+    for d in (-1, 0, 1):
+        cod = jnp.clip(co_all + d, 0, ncl - 1)
+        act = act | (cm3[cod, c_ids] > thr_e)
+        fin = fin & (cmn3[cod, c_ids] > thr_e)
+    klo = jnp.where(
+        act.any(axis=1), jnp.argmax(act, axis=1) - 1, num_planes
+    )
+    klo = jnp.maximum(klo, 0)
+    khi = jnp.where(
+        fin.any(axis=1), jnp.argmax(fin, axis=1) + 2, num_planes
+    )
+    khi = jnp.maximum(jnp.minimum(khi, num_planes), klo)
+    klo_t = klo.astype(jnp.int32)
+    khi_t = khi.astype(jnp.int32)
     tsp_rows = _pow2_rows(plan.ylen)
     # depth_only: 1-channel window (disp), 2-channel output [invz,
     # found]; color scratches shrink to minimal tiles (never read)
@@ -527,7 +602,7 @@ def _sweep_target(
     cdim = 8 if depth_only else _LC
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(ng, nc, batch),
         in_specs=[
             pl.BlockSpec(
@@ -571,7 +646,7 @@ def _sweep_target(
         out_shape=jax.ShapeDtypeStruct((batch, oc, w, hp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(xlo, ylo, cm3, pose_b[:, None, :], vt_b, src_t)
+    )(xlo, ylo, cm3, klo_t, khi_t, pose_b[:, None, :], vt_b, src_t)
     out = out[:, :, :, : plan.out_h].transpose(0, 1, 3, 2)  # (B, oc, H, W)
     if depth_only:
         return out[:, 1], out[:, 0], None
