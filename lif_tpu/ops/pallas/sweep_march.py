@@ -68,6 +68,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..sweep_march import TranslationPlan, _finalize, plane_tables
+from .bounds import plane_loop_bounds
 
 __all__ = ["render_translation_pallas", "render_translation_batch_pallas"]
 
@@ -350,17 +351,16 @@ def _sweep_lateral(
     band_cell = jnp.arange(w // tw, dtype=jnp.int32) * (tw // _COARSE)
     co_all = band_cell[None, None, :] + (ixs_i // _COARSE)[:, :, None]
     thr_b = tkt[:, :, None, None]  # (B, K, 1, 1)
-    act = cm3[co_all] > thr_b      # (B, K, nb, Hc)
-    fin = cmin3[co_all] > thr_b
-    klo = jnp.where(
-        act.any(axis=1), jnp.argmax(act, axis=1), num_planes
+    # skip index is pure integer (ixs // 8) — bit-equal to the kernel's,
+    # so no cell neighborhood / plane widening; FIN_EPS covers the ~3-ulp
+    # f32 dip of the kernel's two-tap lerp below the window min (see
+    # bounds.py)
+    klo_t, khi_t = plane_loop_bounds(
+        co_all, thr_b, num_planes,
+        gather_max=lambda c: cm3[c],      # (B, K, nb, Hc)
+        gather_min=lambda c: cmin3[c],
+        ncells=cm3.shape[0],
     )
-    khi = jnp.where(
-        fin.any(axis=1), jnp.argmax(fin, axis=1) + 1, num_planes
-    )
-    khi = jnp.maximum(jnp.minimum(khi, num_planes), klo)
-    klo_t = klo.astype(jnp.int32)
-    khi_t = khi.astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .bounds import HAT_FIN_SCALE, plane_loop_bounds
 from ..sweep_scaled import (
     ScaledPlan,
     _LC,
@@ -379,21 +380,21 @@ def _build_cm3(plan: ScaledPlan, src_t, reduce=jnp.max):
     wp, hp = src_t.shape[1], src_t.shape[2]
     ncells = wp // _COARSE
     nchunk = hp // _LC
-    ax = (1, 3)
-    red = (lambda a, axis: reduce(a, axis=axis))
-    cmax = red(src_t[-1].reshape(ncells, _COARSE, nchunk, _LC), ax)
+    cmax = reduce(
+        src_t[-1].reshape(ncells, _COARSE, nchunk, _LC), axis=(1, 3)
+    )
     # y: each kernel window covers chunks [c, c + ky_lo + ky_hi]
     yspan = plan.ky_lo + 1 + plan.ky_hi
     cpad = jnp.pad(cmax, ((0, 0), (0, yspan - 1)), mode="edge")
-    cm2 = red(jnp.stack(
+    cm2 = reduce(jnp.stack(
         [cpad[:, i : i + nchunk] for i in range(yspan)], axis=0
-    ), 0)
+    ), axis=0)
     # x: slab reach from the base cell
     span = plan.twx // _COARSE + 2
     xpad = jnp.pad(cm2, ((0, span - 1), (0, 0)), mode="edge")
-    return red(jnp.stack(
+    return reduce(jnp.stack(
         [xpad[i : i + ncells] for i in range(span)], axis=0
-    ), 0)  # (ncells, Hc)
+    ), axis=0)  # (ncells, Hc)
 
 
 @functools.partial(
@@ -444,29 +445,24 @@ def _sweep_scaled(
     band_cell = jnp.arange(nb, dtype=jnp.int32) * (tw // _COARSE)
     co_all = band_cell[None, None, :] + bmin // _COARSE
     # conservative by construction: this twin RECOMPUTES the kernel's
-    # f32 skip-index math, and compiler FMA contraction can differ by an
-    # ulp — enough to flip a floor() at razor-edge values. Evaluate the
-    # activity test over the {co-1, co, co+1} cell neighborhood (max for
-    # act, min for fin) and widen the plane range by one on each side,
-    # so any one-cell or one-plane disagreement is absorbed.
-    ncl = cm3.shape[0]
+    # f32 skip-index math (FMA contraction can flip a floor() by one
+    # cell at razor-edge values), so the scan ORs/ANDs over the
+    # {co-1, co, co+1} cell neighborhood and widens the plane range by
+    # one on each side; HAT_FIN_SCALE/FIN_EPS keep the k_hi crossing
+    # guarantee sound against the kernel's clipped-hat weight
+    # attenuation (the warp is AFFINE in the pixel index, so band-edge
+    # mins bound interior positions and only expression rounding
+    # remains — see bounds.py)
     thr_e = thr_t[:, :, None, None]
-    act = jnp.zeros(co_all.shape + (cm3.shape[1],), bool)
-    fin = jnp.ones(co_all.shape + (cm3.shape[1],), bool)
-    for d in (-1, 0, 1):
-        cod = jnp.clip(co_all + d, 0, ncl - 1)
-        act = act | (cm3[cod] > thr_e)
-        fin = fin & (cmin3[cod] > thr_e)
-    klo = jnp.where(
-        act.any(axis=1), jnp.argmax(act, axis=1) - 1, num_planes
+    klo_t, khi_t = plane_loop_bounds(
+        co_all, thr_e, num_planes,
+        gather_max=lambda c: cm3[c],      # (B, K, nb) -> (B, K, nb, Hc)
+        gather_min=lambda c: cmin3[c],
+        ncells=cm3.shape[0],
+        neighborhood=(-1, 0, 1),
+        widen=1,
+        fin_scale=HAT_FIN_SCALE,
     )
-    klo = jnp.maximum(klo, 0)
-    khi = jnp.where(
-        fin.any(axis=1), jnp.argmax(fin, axis=1) + 2, num_planes
-    )
-    khi = jnp.maximum(jnp.minimum(khi, num_planes), klo)
-    klo_t = klo.astype(jnp.int32)
-    khi_t = khi.astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

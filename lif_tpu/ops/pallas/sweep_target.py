@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..sweep_target import _G, _LC, _TW, TargetPlan, finalize_target
+from .bounds import HAT_FIN_SCALE, plane_loop_bounds
 
 __all__ = ["render_target_batch_pallas"]
 
@@ -572,28 +573,24 @@ def _sweep_target(
     co_all = (xlo.astype(jnp.int32)[None, None, :, None] + gmin) // _COARSE
     c_ids = jnp.arange(nc, dtype=jnp.int32)[None, None, None, :]
     # conservative by construction: this twin RECOMPUTES the kernel's
-    # f32 homography/skip-index math, and compiler FMA contraction can
-    # differ by an ulp — enough to flip a floor() at razor-edge values.
-    # Evaluate over the {co-1, co, co+1} cell neighborhood (max for act,
-    # min for fin) and widen the plane range by one on each side.
-    ncl = cm3.shape[0]
+    # f32 homography/skip-index math (FMA contraction can flip a
+    # floor() by one cell at razor-edge values), so the scan ORs/ANDs
+    # over the {co-1, co, co+1} cell neighborhood and widens the plane
+    # range by one on each side; HAT_FIN_SCALE/FIN_EPS keep the k_hi
+    # crossing guarantee sound against the kernel's clipped-hat weight
+    # attenuation (the per-band diag is a homography chord whose one
+    # possible interior extremum can dip below BOTH edge columns by
+    # the curvature deviation — see bounds.py)
     thr_e = thr_t[:, :, None, None]
-    act = jnp.zeros(co_all.shape, bool)
-    fin = jnp.ones(co_all.shape, bool)
-    for d in (-1, 0, 1):
-        cod = jnp.clip(co_all + d, 0, ncl - 1)
-        act = act | (cm3[cod, c_ids] > thr_e)
-        fin = fin & (cmn3[cod, c_ids] > thr_e)
-    klo = jnp.where(
-        act.any(axis=1), jnp.argmax(act, axis=1) - 1, num_planes
+    klo_t, khi_t = plane_loop_bounds(
+        co_all, thr_e, num_planes,
+        gather_max=lambda c: cm3[c, c_ids],   # (B, K, ng, nc)
+        gather_min=lambda c: cmn3[c, c_ids],
+        ncells=cm3.shape[0],
+        neighborhood=(-1, 0, 1),
+        widen=1,
+        fin_scale=HAT_FIN_SCALE,
     )
-    klo = jnp.maximum(klo, 0)
-    khi = jnp.where(
-        fin.any(axis=1), jnp.argmax(fin, axis=1) + 2, num_planes
-    )
-    khi = jnp.maximum(jnp.minimum(khi, num_planes), klo)
-    klo_t = klo.astype(jnp.int32)
-    khi_t = khi.astype(jnp.int32)
     tsp_rows = _pow2_rows(plan.ylen)
     # depth_only: 1-channel window (disp), 2-channel output [invz,
     # found]; color scratches shrink to minimal tiles (never read)
