@@ -414,14 +414,63 @@ def _plan_march_tier(
     )
 
 
+def _transposed_target_ok(prepared, f2_host, cam0, rot_list, pos_list):
+    """True when every layer's TRANSPOSED pose batch fits the target-ray
+    kernel's plan: pitch-family rotations (source x positions depend on
+    the target ROW, failing plan_target's yaw gate) become yaw-family
+    under an x<->y transpose of source and target, so the single-phase
+    march covers them there (the elevation half of the demo's spherical
+    orbit controls — reference index.html:1271-1313, phi axis).
+
+    The transposed output width is the target HEIGHT symmetrically
+    padded to the kernel's 128-column group grid; a symmetric pad keeps
+    the principal point exactly centered, so slicing the pad off after
+    the render is frustum-exact. The pad parity must therefore be even
+    (odd target heights are ineligible), and skews must be zero (the
+    rotated tiers reject skew anyway)."""
+    h_pad = -(-cam0.height // 128) * 128 - cam0.height
+    if h_pad % 2:
+        return False
+    if float(np.abs(np.asarray(cam0.skew)).sum()) > 1e-12:
+        return False
+    rot_t = [_conj_swap_xy(r) for r in rot_list]
+    pos_t = [np.asarray(p, np.float64)[list(_SWAP_XY)] for p in pos_list]
+    for lay in prepared["layers"]:
+        try:
+            _sweep_target.plan_target(
+                lay["h"], lay["w"], cam0.height + h_pad, cam0.width,
+                lay["focal_host"], f2_host, rot_t, pos_t,
+                lay["izmin_host"], lay["izmax_host"],
+            )
+        except ValueError:
+            return False
+    return True
+
+
 _TRANSPOSED_CACHE: "_OrderedDict" = _OrderedDict()
 _TRANSPOSED_CACHE_MAX = 8
 
+# x<->y axis swap: transposing every image corresponds to conjugating
+# all camera-space quantities by this permutation (rays swap the same
+# way the pixel indices do). Permutation conjugation is applied by
+# INDEXING (R[[1,0,2]][:, [1,0,2]]) so it is exact — no matmul rounding.
+_SWAP_XY = (1, 0, 2)
+
+
+def _conj_swap_xy(rot) -> np.ndarray:
+    """S @ R @ S for the x<->y swap S, computed by index permutation
+    (dtype-preserving, exact)."""
+    r = np.asarray(rot)
+    return r[list(_SWAP_XY)][:, list(_SWAP_XY)].copy()
+
 
 def _transposed_projector(projector: Projector) -> Projector:
-    """Axis-swapped copy (x<->y) for the y-translation march reduction,
+    """Axis-swapped copy (x<->y) for the transpose reductions (y-only
+    translation -> x march; pitch-family rotation -> yaw target march),
     cached per projector so the transposed textures upload once, not per
-    frame. Unlike the texture cache, the transposed copy bakes in POSE
+    frame. The world rotation is conjugated by the swap (identity for
+    the y-translation route, which requires identity world rotations).
+    Unlike the texture cache, the transposed copy bakes in POSE
     and intrinsics, so the key covers every small field — a projector
     moved via .replace(position=...) (same disp buffer) must miss."""
     tkey, refs = _texture_key(projector)
@@ -448,8 +497,8 @@ def _transposed_projector(projector: Projector) -> Projector:
         invz_max=np.asarray(projector.invz_max),
         focal=np.asarray(projector.focal),
         skew=np.asarray(projector.skew)[::-1].copy(),
-        position=np.asarray(projector.position)[[1, 0, 2]],
-        rotation=np.asarray(projector.rotation),
+        position=np.asarray(projector.position)[list(_SWAP_XY)],
+        rotation=_conj_swap_xy(projector.rotation),
         baseline=np.asarray(projector.baseline),
         num_layers=projector.num_layers,
         width=projector.height,
@@ -874,6 +923,7 @@ def render_fast_batch(
     refine: int | None = None,
     config: RenderConfig | None = None,
     return_tiers: bool = False,
+    _transpose: bool = True,
 ):
     """Render MANY novel views in ONE device dispatch. Returns (B, H, W, 4).
 
@@ -1008,6 +1058,47 @@ def render_fast_batch(
         ]
         modes = [m for m, _ in replan]
         setups = [s for _, s in replan]
+    if (
+        _transpose
+        and rotated
+        and method in ("march", "auto")
+        and any(m in ("rotated", "sweep") for m in modes)
+        and _transposed_target_ok(prepared, f2_host, cam0, rot_list,
+                                  pos_list)
+    ):
+        # pitch-family rotations: an x<->y transpose of source and
+        # target turns them into the target kernel's yaw family
+        # (_transposed_target_ok), upgrading the batch from the
+        # two-phase rotated tier to the single-phase march. Render the
+        # transposed problem, slice off the symmetric height pad, swap
+        # the axes back. _transpose=False in the recursive call caps
+        # the recursion (eligibility can't pass twice anyway: the
+        # doubly-transposed batch is this one, whose plan just failed).
+        h_pad = -(-cam0.height // 128) * 128 - cam0.height
+        half = h_pad // 2
+        proj_t = _transposed_projector(projector)
+        cams_t = [
+            Camera.create(
+                cam0.height + h_pad, cam0.width,
+                focal_px=float(cam0.focal_px),
+                position=np.asarray(cam.position, np.float64)[
+                    list(_SWAP_XY)],
+                rotation=_conj_swap_xy(cam.rotation),
+                skew=np.asarray(cam0.skew)[::-1],
+            )
+            for cam in cameras
+        ]
+        res = render_fast_batch(
+            proj_t, cams_t, background=background, feathering=feathering,
+            to_srgb=to_srgb, num_planes=explicit_planes, chunk=chunk,
+            exact_color=exact_color, method=method, mask_mode=mask_mode,
+            refine=refine, config=config, return_tiers=return_tiers,
+            _transpose=False,
+        )
+        out_t, tiers_t = res if return_tiers else (res, None)
+        out_t = out_t[:, :, half : half + cam0.height, :]
+        out = jnp.swapaxes(out_t, 1, 2)
+        return (out, tiers_t) if return_tiers else out
     if method == "march" and any(m == "sweep" for m in modes):
         raise ValueError(
             "method='march' needs poses the march tiers cover (lateral, "

@@ -222,9 +222,12 @@ class TestRendererRouting:
         sl = np.s_[10:-10, 10:-10]
         assert _psnr(np.asarray(out[0])[sl], ref[sl]) >= 40.0
 
-    def test_pitch_falls_back_to_two_phase(self, rng, monkeypatch):
-        """Non-yaw rotations must keep working through the two-phase
-        tier (plan_target raises, the dispatch falls through)."""
+    def test_pitch_routes_transposed_target(self, rng, monkeypatch):
+        """Pitch rotations fail plan_target's yaw gate upright, but the
+        renderer maps them onto the yaw family by an x<->y transpose
+        (tests/test_pitch_transpose.py covers the flagship scene; this
+        pins the dispatch on a synthetic odd-aspect case, h=112 ->
+        transposed width 128 with a symmetric 16-px pad sliced off)."""
         from lif_tpu import Camera
         from lif_tpu.models.projector import projector_from_arrays
         import lif_tpu.models.renderer as R
@@ -244,7 +247,47 @@ class TestRendererRouting:
         )
         rot, c1 = _rotx(6.0), np.array([0.1, 0.0, 0.0])
         cam = Camera.create(w, h, focal_px=f1, position=c1, rotation=rot)
-        out = R.render_fast_batch(proj, [cam])
+        out, tiers = R.render_fast_batch(proj, [cam], return_tiers=True)
+        assert list(tiers) == ["target"]
+        assert len(calls) > 0, "transposed route must hit the target kernel"
+        from lif_tpu.core.pose import relative_view_pose
+        p_rel, r_rel = relative_view_pose(
+            np.zeros(3), np.eye(3), c1.astype(np.float64), rot
+        )
+        ref = _march_rot(rgb, disp, mask, IZMIN, IZMAX, f1, p_rel, r_rel,
+                         w, h, steps=1280)
+        sl = np.s_[10:-10, 10:-10]
+        # march class — the transposed single-phase tier replaces the
+        # two-phase path's ~34 dB intermediate-lattice bound here
+        assert _psnr(np.asarray(out[0])[sl], ref[sl]) >= 40.0
+
+    def test_combined_rotation_falls_back_to_two_phase(self, rng,
+                                                       monkeypatch):
+        """Rotations about both axes fail the yaw gate in BOTH
+        orientations (plan_target raises upright and transposed); the
+        dispatch must fall through to the two-phase tier."""
+        from lif_tpu import Camera
+        from lif_tpu.models.projector import projector_from_arrays
+        import lif_tpu.models.renderer as R
+
+        calls = []
+        orig = st.render_target_fetch_batch
+        monkeypatch.setattr(
+            R._sweep_target, "render_target_fetch_batch",
+            lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1],
+        )
+        h, w = 112, 128
+        rgb, disp, mask = _scene(rng, h=h, w=w)
+        f1 = 0.78 * w
+        proj = projector_from_arrays(
+            np.asarray(rgb), np.asarray(disp), focal_px=f1,
+            invz_min=IZMIN, invz_max=IZMAX, baseline=1.0,
+        )
+        rot = _rotx(5.0) @ _roty(5.0)
+        c1 = np.array([0.1, 0.0, 0.0])
+        cam = Camera.create(w, h, focal_px=f1, position=c1, rotation=rot)
+        out, tiers = R.render_fast_batch(proj, [cam], return_tiers=True)
+        assert list(tiers) == ["rotated"]
         assert len(calls) == 0
         from lif_tpu.core.pose import relative_view_pose
         p_rel, r_rel = relative_view_pose(
