@@ -95,9 +95,12 @@ def _kernel(
     fxs,  # (B, K) f32: bilinear fractions
     izt,  # (B, K) f32: per-pose plane inverse depths, near -> far
     tkt,  # (B, K) f32: per-pose plane thresholds in TEXEL units
-    cm3,  # (Wp/8, Hc) f32: sliding window max of coarse disp (skip table)
-    klo_t,  # (B, nb, Hc) i32: first plane whose skip test can pass
-    khi_t,  # (B, nb, Hc) i32: exclusive end — window MIN in front there
+    cm3,  # (Wp/8 * Hc,) f32: sliding window max of coarse disp (skip
+    #      table), FLATTENED — SMEM pads the last dim of a multi-dim
+    #      prefetch operand to 128 (and 1-D only to 512 elements), so a
+    #      (ncells, 7) table would occupy ~18x its size; same below
+    klo_t,  # (B * nb * Hc,) i32: first plane whose skip test can pass
+    khi_t,  # (B * nb * Hc,) i32: exclusive end — window MIN in front there
     src_hbm,  # (5, Wp, Hp) f32 ANY: r, g, b, mask, disp — TRANSPOSED
     out_ref,  # (1, 6, tw, lc) VMEM out block (pose-major)
     blk,  # (5, bw, lc) f32 VMEM scratch: this tile's source window
@@ -116,6 +119,8 @@ def _kernel(
     lc: int,
     num_planes: int,
     refine: int,
+    nb: int,
+    n_hc: int,
 ):
     b = pl.program_id(0)
     c = pl.program_id(1)
@@ -171,7 +176,7 @@ def _kernel(
         # crossing. The tail test stops once every pixel has crossed.
         co = b * (tw // _COARSE) + ixs[p, k] // _COARSE
         active = jnp.logical_and(
-            cm3[co, c] > tkt[p, k], nfound[0, 0] < float(tw * lc)
+            cm3[co * n_hc + c] > tkt[p, k], nfound[0, 0] < float(tw * lc)
         )
 
         @pl.when(active)
@@ -204,8 +209,8 @@ def _kernel(
     # nothing in the dense loop. Mean trip measured 38 of 271 planes on
     # the SFMoMA bench pose (scratch/skip_stats.py), a ~7x cut of the
     # per-plane fixed cost.
-    k_lo = klo_t[p, b, c]
-    k_hi = khi_t[p, b, c]
+    k_lo = klo_t[(p * nb + b) * n_hc + c]
+    k_hi = khi_t[(p * nb + b) * n_hc + c]
     jax.lax.fori_loop(k_lo, k_hi, pass1, 0)
 
     # per-pixel secant parameter from the frozen bracket (one divide total,
@@ -385,8 +390,13 @@ def _sweep_lateral(
         ],
     )
     kernel = functools.partial(
-        _kernel, tw=tw, bw=bw, lc=lc, num_planes=num_planes, refine=refine
+        _kernel, tw=tw, bw=bw, lc=lc, num_planes=num_planes, refine=refine,
+        nb=w // tw, n_hc=hp // lc,
     )
+    # cm3/klo/khi ride SMEM flattened: a multi-dim prefetch operand pads
+    # its LAST dim to 128 (and 2nd-to-last to 8), so the (B, nb, 7)
+    # bounds tables would cost ~18x their size and cap the pose batch
+    # (measured: chunk=48 overflowed the 1 MB SMEM budget by 160 KB)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((batch, 6, w, hp), jnp.float32),
@@ -397,9 +407,9 @@ def _sweep_lateral(
         fx_t.astype(jnp.float32).reshape(batch, num_planes),
         izt,
         tkt,
-        cm3,
-        klo_t,
-        khi_t,
+        cm3.reshape(-1),
+        klo_t.reshape(-1),
+        khi_t.reshape(-1),
         src_t,
     )
     # transpose back to image orientation and drop the lane padding

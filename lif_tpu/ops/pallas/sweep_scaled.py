@@ -58,9 +58,11 @@ _COARSE = 8  # coarse skip-table cell width in x (one sublane group)
 
 
 def _kernel(
-    cm3,  # (Wp/8, Hc) f32 scalar prefetch: sliding-window disp max
-    klo_t,  # (B, nb, Hc) i32 prefetch: first plane whose skip test can pass
-    khi_t,  # (B, nb, Hc) i32 prefetch: exclusive end (window MIN in front)
+    cm3,  # (Wp/8 * Hc,) f32 scalar prefetch: sliding-window disp max —
+    #     FLATTENED: SMEM pads a multi-dim prefetch operand's last dim
+    #     to 128 (1-D only to 512 elements), ~18x blowup for Hc=7
+    klo_t,  # (B * nb * Hc,) i32: first plane whose skip test can pass
+    khi_t,  # (B * nb * Hc,) i32: exclusive end (window MIN in front)
     tab_ref,  # (1, 6, K) SMEM, pose-blocked: tx, ex, ty, ey, izt, tkt
     src_hbm,  # (C, Wp, Hp) f32 ANY — C=5 (full) or 1 (depth_only: disp)
     out_ref,  # (1, OC, tw, lc) VMEM out block
@@ -84,6 +86,8 @@ def _kernel(
     tw, lc, mx, my = plan.tw, _LC, plan.mx, plan.my
     twx = plan.twx
     ylen = plan.ylen
+    nb = plan.out_w // tw  # static strides of the flattened SMEM tables
+    n_hc = plan.hp_out // _LC
     nch = 1 if depth_only else 5
     dch = nch - 1  # disparity channel index within the window
     b = pl.program_id(0)
@@ -264,7 +268,7 @@ def _kernel(
         bmin = jnp.floor(jnp.minimum(dxa, dxb)).astype(jnp.int32)
         co = b * (tw // _COARSE) + bmin // _COARSE
         active = jnp.logical_and(
-            cm3[co, c] > _tab(5, k), nfound[0, 0] < float(tw * lc)
+            cm3[co * n_hc + c] > _tab(5, k), nfound[0, 0] < float(tw * lc)
         )
 
         @pl.when(active)
@@ -290,8 +294,8 @@ def _kernel(
     # bounded plane loop (exact — see ops/pallas/sweep_march.py): before
     # k_lo the skip test provably fails; at khi-1 the sliding-window MIN
     # is strictly in front so every remaining pixel crosses
-    k_lo = klo_t[p, b, c]
-    k_hi = khi_t[p, b, c]
+    k_lo = klo_t[(p * nb + b) * n_hc + c]
+    k_hi = khi_t[(p * nb + b) * n_hc + c]
     jax.lax.fori_loop(k_lo, k_hi, pass1, 0)
 
     # secant parameter from the frozen bracket (k* == 0 snaps to t = 1)
@@ -503,7 +507,7 @@ def _sweep_scaled(
         out_shape=jax.ShapeDtypeStruct((batch, oc, w, hp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cm3, klo_t, khi_t, tabs, src_t)
+    )(cm3.reshape(-1), klo_t.reshape(-1), khi_t.reshape(-1), tabs, src_t)
     # back to image orientation, drop lane padding
     out = out[:, :, :, : plan.out_h].transpose(0, 1, 3, 2)  # (B, oc, H, W)
     if depth_only:

@@ -81,10 +81,13 @@ def _classes(nmax, start=2):
 
 def _kernel(
     xlo,  # (ng,) i32 scalar prefetch: per-group window x origin (padded)
-    ylo,  # (ng, nc) i32: per-(group, chunk) window y origin (128-aligned)
-    cm3,  # (ncellx, nc) f32: sliding disp max over plan.gspan cells
-    klo_t,  # (B, ng, nc) i32: first plane whose skip test can pass
-    khi_t,  # (B, ng, nc) i32: exclusive end (window MIN in front)
+    ylo,  # (ng * nc,) i32: per-(group, chunk) window y origin — this and
+    #     the next three are FLATTENED: SMEM pads a multi-dim prefetch
+    #     operand's last dim to 128 (1-D only to 512 elements), an ~18x
+    #     blowup for nc=7 that would cap the pose batch
+    cm3,  # (ncellx * nc,) f32: sliding disp max over plan.gspan cells
+    klo_t,  # (B * ng * nc,) i32: first plane whose skip test can pass
+    khi_t,  # (B * ng * nc,) i32: exclusive end (window MIN in front)
     pose_ref,  # (1, 1, 16) SMEM pose scalars: p_ts row-major, c_vec
     vt_ref,  # (1, 2, K) SMEM: plane invz (desc) + texel thresholds
     src_hbm,  # (C, Wp, Hp) f32 ANY — r,g,b,mask,disp (C=5) or disp (C=1)
@@ -112,6 +115,8 @@ def _kernel(
 ):
     tw, lc, gwd = _TW, _LC, _GW
     bw, ylen = plan.bw, plan.ylen
+    n_ng = plan.out_w // _GW  # static strides of the flattened SMEM tables
+    n_nc = plan.hp_out // _LC
     # depth_only: the window carries ONLY the disp channel (the fetch
     # path reads colors with one exact bilinear gather outside the
     # kernel), so the resident-window DMA and VMEM are 1/5 of the
@@ -124,7 +129,7 @@ def _kernel(
         src_hbm.at[
             :,
             pl.ds(pl.multiple_of(xlo[g], 8), bw),
-            pl.ds(pl.multiple_of(ylo[g, c], 128), ylen),
+            pl.ds(pl.multiple_of(ylo[g * n_nc + c], 128), ylen),
         ],
         blk, sem,
     )
@@ -172,7 +177,7 @@ def _kernel(
         )
 
     xoff = (float(plan.pad_x) - xlo[g]).astype(jnp.float32)
-    yoff = (float(plan.pad_y) - ylo[g, c]).astype(jnp.float32)
+    yoff = (float(plan.pad_y) - ylo[g * n_nc + c]).astype(jnp.float32)
 
     # x fields, (GW, 1), window-relative, DIAGONAL (minus the local
     # sublane index): weight of slab row o + j for column j is
@@ -348,7 +353,7 @@ def _kernel(
         ).astype(jnp.int32)
         co = (xlo[g] + gmin) // _COARSE
         active = jnp.logical_and(
-            cm3[co, c] > tk, nfound[0, 0] < float(_GW * _LC)
+            cm3[co * n_nc + c] > tk, nfound[0, 0] < float(_GW * _LC)
         )
 
         @pl.when(active)
@@ -382,8 +387,8 @@ def _kernel(
     # padding planes, whose thresholds exceed every texel), and at khi-1
     # the sliding-window MIN is strictly in front so every remaining
     # pixel crosses
-    k_lo = klo_t[p, g, c]
-    k_hi = khi_t[p, g, c]
+    k_lo = klo_t[(p * n_ng + g) * n_nc + c]
+    k_hi = khi_t[(p * n_ng + g) * n_nc + c]
     jax.lax.fori_loop(k_lo, k_hi, pass1, 0)
 
     t = jnp.clip(
@@ -643,7 +648,8 @@ def _sweep_target(
         out_shape=jax.ShapeDtypeStruct((batch, oc, w, hp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(xlo, ylo, cm3, klo_t, khi_t, pose_b[:, None, :], vt_b, src_t)
+    )(xlo, ylo.reshape(-1), cm3.reshape(-1), klo_t.reshape(-1),
+      khi_t.reshape(-1), pose_b[:, None, :], vt_b, src_t)
     out = out[:, :, :, : plan.out_h].transpose(0, 1, 3, 2)  # (B, oc, H, W)
     if depth_only:
         return out[:, 1], out[:, 0], None
