@@ -38,10 +38,13 @@ W, H = 1280, 800
 # One pose-chunked dispatch carries the whole batch (render_fast_batch
 # runs a lax.map over config.pose_chunk-sized chunks inside a single
 # compiled program), so the relay's ~50 ms non-pipelining per-dispatch
-# overhead amortizes over BATCH frames: 400 frames -> ~0.13 ms/frame of
-# overhead against ~1.7 ms/frame device time. The (400, 800, 1280, 4)
-# f32 output is ~6.5 GB of HBM — comfortably inside v5e's 16 GB.
-BATCH = 400
+# overhead amortizes over BATCH frames. BATCH is a MULTIPLE of the
+# default pose_chunk (48): the tail chunk pads to a full chunk, so 400
+# would render 432 frames and bill 32 of them to nothing (8% waste).
+# The (432, 800, 1280, 4) f32 batch (~7 GB) materializes in HBM inside
+# the dispatch (per-chunk march intermediates stay bounded by the
+# lax.map) — comfortably inside v5e's 16 GB.
+BATCH = 432
 REPS = 1
 
 
@@ -100,7 +103,6 @@ def main():
     def cam(x):
         return Camera.create(W, H, focal_px=focal, position=[x, 0.0, 0.0])
 
-    @jax.jit
     def reduce_img(img):
         return jnp.sum(img) * 1e-9
 
@@ -112,9 +114,13 @@ def main():
         cams = [cam(0.135 + 0.02 * i / batch) for i in range(batch)]
 
         def step():
-            # render_fast_batch executes as one compiled dispatch; the
-            # reduction is jitted so no full image crosses the tunnel
-            return reduce_img(render_fast_batch(proj, cams, method="march"))
+            # postprocess= fuses the sync reduction INTO the render
+            # dispatch: one relay round trip per step instead of two
+            # (~50 ms non-pipelining overhead each, docs/TPU_NOTES.md),
+            # and no full image crosses the tunnel
+            return render_fast_batch(
+                proj, cams, method="march", postprocess=reduce_img
+            )
 
         return step
 

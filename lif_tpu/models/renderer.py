@@ -923,6 +923,7 @@ def render_fast_batch(
     refine: int | None = None,
     config: RenderConfig | None = None,
     return_tiers: bool = False,
+    postprocess=None,
     _transpose: bool = True,
 ):
     """Render MANY novel views in ONE device dispatch. Returns (B, H, W, 4).
@@ -931,6 +932,15 @@ def render_fast_batch(
     per-layer dispatch tier actually chosen ('march' | 'scaled' |
     'target' | 'rotated' | 'sweep') — observability for benchmarks and
     debugging, no effect on the render.
+
+    postprocess: optional traceable callable applied to the finished
+    (B, H, W, 4) batch INSIDE the compiled program (display quantization,
+    on-device metrics, a bench reduction, ...). Each jitted call through
+    the relay tunnel costs ~50 ms of non-pipelining dispatch overhead
+    (docs/TPU_NOTES.md), so a separately-jitted postprocess pays a second
+    round trip per step; fusing it here makes render + postprocess ONE
+    dispatch. Pass a stable function object — the compiled-core cache is
+    keyed on its identity, so a fresh lambda per call would recompile.
 
     The per-dispatch wall overhead through the host->TPU relay (~50 ms,
     non-pipelining; docs/TPU_NOTES.md) dominates single-frame rendering;
@@ -1098,6 +1108,10 @@ def render_fast_batch(
         out_t, tiers_t = res if return_tiers else (res, None)
         out_t = out_t[:, :, half : half + cam0.height, :]
         out = jnp.swapaxes(out_t, 1, 2)
+        if postprocess is not None:
+            # the transpose-back runs outside the compiled core, so the
+            # postprocess rides a separate (small) dispatch on this path
+            out = postprocess(out)
         return (out, tiers_t) if return_tiers else out
     if method == "march" and any(m == "sweep" for m in modes):
         raise ValueError(
@@ -1159,6 +1173,7 @@ def render_fast_batch(
         pad_dx=dx_pad,
         crops=tuple(crops),
         pose_chunk=cfg.pose_chunk,
+        postprocess=postprocess,
     )
     layer_args = tuple(
         dict(
@@ -1178,7 +1193,8 @@ def render_fast_batch(
         jnp.float32(f2_host),
         jnp.asarray(background, jnp.float32),
     )
-    out = out[:, :, : cam0.width, :] if wpad else out
+    # the width-pad slice and any postprocess run INSIDE the core jit
+    # (_fast_batch_core), so `out` is final here
     return (out, tuple(modes)) if return_tiers else out
 
 
@@ -1237,6 +1253,7 @@ def _fast_batch_core(
     pad_dx=0.0,
     crops=None,
     pose_chunk=0,
+    postprocess=None,
 ):
     """Traced body of render_fast_batch: per-layer batched kernels +
     front-to-back LDI compositing over the batch axis. Layer tiers:
@@ -1277,7 +1294,7 @@ def _fast_batch_core(
         for lay, pp in zip(layers, pp_layers)
     )
     if pose_chunk and batch > pose_chunk:
-        return _pose_chunk_map(
+        out = _pose_chunk_map(
             lambda x: _fast_chunk_body(
                 fixed_layers, x[0], x[1], x[2], f2, background,
                 plans=plans, modes=modes, static_setups=static_setups,
@@ -1291,15 +1308,23 @@ def _fast_batch_core(
             (c1_b, rot_b, pp_layers),
             batch, pose_chunk,
         )
-    return _fast_chunk_body(
-        fixed_layers, c1_b, rot_b, pp_layers, f2, background,
-        plans=plans, modes=modes, static_setups=static_setups,
-        rotated=rotated, refine=refine, rot_refine=rot_refine,
-        n_poses=batch, nums=nums, chunk=chunk, feathering=feathering,
-        mask_mode=mask_mode, exact_color=exact_color, to_srgb=to_srgb,
-        out_w=out_w, out_h=out_h, out_w_true=out_w_true, pad_dx=pad_dx,
-        crops=crops,
-    )
+    else:
+        out = _fast_chunk_body(
+            fixed_layers, c1_b, rot_b, pp_layers, f2, background,
+            plans=plans, modes=modes, static_setups=static_setups,
+            rotated=rotated, refine=refine, rot_refine=rot_refine,
+            n_poses=batch, nums=nums, chunk=chunk, feathering=feathering,
+            mask_mode=mask_mode, exact_color=exact_color, to_srgb=to_srgb,
+            out_w=out_w, out_h=out_h, out_w_true=out_w_true, pad_dx=pad_dx,
+            crops=crops,
+        )
+    if out_w_true and out_w_true != out_w:
+        # band tiers render the 8-divisibility width pad; drop it here so
+        # the slice fuses into this dispatch instead of costing another
+        out = out[:, :, :out_w_true, :]
+    if postprocess is not None:
+        out = postprocess(out)
+    return out
 
 
 def _fast_chunk_body(

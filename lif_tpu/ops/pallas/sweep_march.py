@@ -73,6 +73,12 @@ from .bounds import plane_loop_bounds
 __all__ = ["render_translation_pallas", "render_translation_batch_pallas"]
 
 _COARSE = 8  # coarse skip-table cell width, px (one sublane group)
+# planes per grouped-pass1 iteration (variant="grouped"). Measured on the
+# SFMoMA 1280x800 batch bench (marginal device ms/frame, B=100): G=2 2.75,
+# G=4 2.87, G=8 3.22, ungrouped two-pass 3.12 — small groups amortize the
+# per-plane kstar/pdiffc/diffc scratch read-modify-writes into registers
+# without paying for wasted tail/inactive plane visits inside a group.
+_GROUP = 2
 
 
 def _round_up(n: int, q: int) -> int:
@@ -119,6 +125,7 @@ def _kernel(
     lc: int,
     num_planes: int,
     refine: int,
+    grouped: bool,
     nb: int,
     n_hc: int,
 ):
@@ -150,11 +157,17 @@ def _kernel(
 
     def _warp_of(chans, o, fx):
         """Shifted + bilinearly-lerped source channels at integer shift o
-        plus fraction fx. chans: static (lo, hi) channel slice."""
+        plus fraction fx. chans: static (lo, hi) channel slice. Integer
+        shifts (fx exactly 0.0 — every snap-grid plane except the range
+        endpoints, plane_tables snaps them) take a lerp-free slice
+        branch."""
         o8 = pl.multiple_of((o // 8) * 8, 8)
         r = o - o8
         lo, hi = chans
         win = blk[lo:hi, pl.ds(o8, tw + 16), :]  # (hi-lo, tw+16, lc) value
+
+        def sliced(rr):
+            return lambda: win[:, rr : rr + tw, :]
 
         def shifted(rr):
             # residual integer shift + fractional lerp, fused per branch
@@ -163,7 +176,12 @@ def _kernel(
                 + win[:, rr + 1 : rr + tw + 1, :] * fx
             )
 
-        return jax.lax.switch(r, [shifted(rr) for rr in range(8)])
+        idx = r + 8 * (fx > 0.0).astype(jnp.int32)
+        return jax.lax.switch(
+            idx,
+            [sliced(rr) for rr in range(8)]
+            + [shifted(rr) for rr in range(8)],
+        )
 
     def _warp(chans, k_idx):
         return _warp_of(chans, ixs[p, k_idx], fxs[p, k_idx])
@@ -202,6 +220,71 @@ def _kernel(
 
         return 0
 
+    def pass1_group(g, _):
+        """Four consecutive planes per iteration: the per-plane scratch
+        read-modify-writes (kstar/pdiffc/diffc/pdiff — the dominant
+        VMEM traffic, ~8 full-tile transfers per plane) amortize to one
+        per GROUP; diffs chain through registers inside the group.
+        Semantics are unchanged: a plane whose skip test fails has
+        diff <= 0 everywhere (the test is a sliding MAX bound), so
+        computing it inside an active group contributes no crossings;
+        tail planes clamp to k_hi - 1, where a repeat visit finds every
+        crossing already frozen (kstar >= 0 blocks re-freezing)."""
+        k0 = k_lo + _GROUP * g
+        ks = [jnp.minimum(k0 + j, k_hi - 1) for j in range(_GROUP)]
+        for kk in ks:
+            crossflag[kk] = 0.0
+        act = nfound[0, 0] < float(tw * lc)
+        any_active = jnp.logical_and(
+            act,
+            functools.reduce(
+                jnp.logical_or,
+                [
+                    cm3[
+                        (b * (tw // _COARSE) + ixs[p, kk] // _COARSE)
+                        * n_hc
+                        + c
+                    ]
+                    > tkt[p, kk]
+                    for kk in ks
+                ],
+            ),
+        )
+
+        @pl.when(any_active)
+        def _():
+            @pl.when(jnp.logical_and(lastk[0, 0] != k0 - 1, k0 > 0))
+            def _():
+                pdiff[:] = _warp((4, 5), k0 - 1)[0] - tkt[p, k0 - 1]
+
+            pd = pdiff[:]
+            ks_f = kstar[:]
+            pdc = pdiffc[:]
+            dfc = diffc[:]
+            total = jnp.float32(0.0)
+            for j, kk in enumerate(ks):
+                diff = _warp((4, 5), kk)[0] - tkt[p, kk]
+                crossed = jnp.logical_and(ks_f < -0.5, diff > 0.0)
+                cnt = jnp.sum(crossed.astype(jnp.float32))
+                ks_f = jnp.where(crossed, kk.astype(jnp.float32), ks_f)
+                pdc = jnp.where(crossed, pd, pdc)
+                dfc = jnp.where(crossed, diff, dfc)
+
+                @pl.when(k0 + j < k_hi)
+                def _(cnt=cnt, kk=kk):
+                    crossflag[kk] = cnt
+
+                total = total + jnp.where(k0 + j < k_hi, cnt, 0.0)
+                pd = diff
+            kstar[:] = ks_f
+            pdiffc[:] = pdc
+            diffc[:] = dfc
+            pdiff[:] = pd
+            nfound[0, 0] = nfound[0, 0] + total
+            lastk[0, 0] = ks[-1]
+
+        return 0
+
     # bounded plane loop (exact): before k_lo the skip test provably
     # fails (cm3 <= threshold for every earlier plane at its own cell),
     # and at khi-1 the window MIN is strictly in front, so every
@@ -211,7 +294,11 @@ def _kernel(
     # per-plane fixed cost.
     k_lo = klo_t[(p * nb + b) * n_hc + c]
     k_hi = khi_t[(p * nb + b) * n_hc + c]
-    jax.lax.fori_loop(k_lo, k_hi, pass1, 0)
+    if grouped:
+        n_groups = (k_hi - k_lo + _GROUP - 1) // _GROUP
+        jax.lax.fori_loop(0, n_groups, pass1_group, 0)
+    else:
+        jax.lax.fori_loop(k_lo, k_hi, pass1, 0)
 
     # per-pixel secant parameter from the frozen bracket (one divide total,
     # not one per plane). The texel-space diffs give the same ratio as the
@@ -299,7 +386,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "num_planes", "batch", "refine", "interpret",
+        "plan", "num_planes", "batch", "refine", "variant", "interpret",
     ),
 )
 def _sweep_lateral(
@@ -313,6 +400,7 @@ def _sweep_lateral(
     num_planes: int,
     batch: int,
     refine: int = 0,
+    variant: str = "grouped",
     interpret: bool = False,
 ):
     w, h = plan.out_w, plan.out_h
@@ -367,6 +455,23 @@ def _sweep_lateral(
         ncells=cm3.shape[0],
     )
 
+    scratch = [
+        pltpu.VMEM((5, bw, lc), jnp.float32),
+        pltpu.VMEM((tw, lc), jnp.float32),  # pdiff
+        pltpu.VMEM((tw, lc), jnp.float32),  # kstar
+        pltpu.VMEM((tw, lc), jnp.float32),  # pdiffc
+        pltpu.VMEM((tw, lc), jnp.float32),  # diffc
+        pltpu.VMEM((4, tw, lc), jnp.float32),  # prgba
+        pltpu.SMEM((num_planes,), jnp.float32),  # crossflag
+        pltpu.SMEM((1, 1), jnp.int32),  # lastk
+        pltpu.SMEM((1, 1), jnp.float32),  # nfound
+        pltpu.SemaphoreType.DMA,
+    ]
+    kernel = functools.partial(
+        _kernel, tw=tw, bw=bw, lc=lc, num_planes=num_planes,
+        refine=refine, grouped=(variant == "grouped"),
+        nb=w // tw, n_hc=hp // lc,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(w // tw, hp // lc, batch),
@@ -376,22 +481,7 @@ def _sweep_lateral(
             lambda b, c, p, *_: (p, 0, b, c),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((5, bw, lc), jnp.float32),
-            pltpu.VMEM((tw, lc), jnp.float32),  # pdiff
-            pltpu.VMEM((tw, lc), jnp.float32),  # kstar
-            pltpu.VMEM((tw, lc), jnp.float32),  # pdiffc
-            pltpu.VMEM((tw, lc), jnp.float32),  # diffc
-            pltpu.VMEM((4, tw, lc), jnp.float32),  # prgba
-            pltpu.SMEM((num_planes,), jnp.float32),  # crossflag
-            pltpu.SMEM((1, 1), jnp.int32),  # lastk
-            pltpu.SMEM((1, 1), jnp.float32),  # nfound
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    kernel = functools.partial(
-        _kernel, tw=tw, bw=bw, lc=lc, num_planes=num_planes, refine=refine,
-        nb=w // tw, n_hc=hp // lc,
+        scratch_shapes=scratch,
     )
     # cm3/klo/khi ride SMEM flattened: a multi-dim prefetch operand pads
     # its LAST dim to 128 (and 2nd-to-last to 8), so the (B, nb, 7)
@@ -421,7 +511,7 @@ def _sweep_lateral(
     jax.jit,
     static_argnames=(
         "plan", "num_planes", "mask_mode", "to_srgb", "refine", "raw",
-        "crop_y", "interpret",
+        "crop_y", "variant", "interpret",
     ),
 )
 def render_translation_batch_pallas(
@@ -443,6 +533,7 @@ def render_translation_batch_pallas(
     raw: bool = False,
     offset=(0.0, 0.0),
     crop_y: int = 0,
+    variant: str = "grouped",
     interpret: bool = False,
 ):
     """Batched equivalent of sweep_march.render_translation_xla on TPU for
@@ -453,7 +544,12 @@ def render_translation_batch_pallas(
     center-crop taller sources, renderer._fast_core). plane_invz may
     be (K,) shared or (B, K) per-pose (snap grids). Returns
     (B, H, W, 4); the whole batch is ONE kernel launch sharing one source
-    read per tile."""
+    read per tile.
+
+    variant: 'grouped' (default — pass 1 visits _GROUP planes per loop
+    iteration, chaining the crossing state through registers) or
+    'two_pass' (one plane per iteration). Identical outputs (equality-
+    tested); grouped measures ~12% faster on the SFMoMA batch bench."""
     h, w = disp.shape
     assert plan.src_w == w and plan.src_h == h, (plan, disp.shape)
     assert plan.out_h == h, (plan, "center-crop taller sources first")
@@ -496,7 +592,7 @@ def render_translation_batch_pallas(
     found, rstar, rgba_star = _sweep_lateral(
         src_t, ix_t, fx_t, invz, izmin, izmax,
         plan=plan, num_planes=num_planes, batch=batch, refine=refine,
-        interpret=interpret,
+        variant=variant, interpret=interpret,
     )
     return jax.vmap(
         lambda f, r, rg, cc: _finalize(

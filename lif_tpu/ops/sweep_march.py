@@ -252,6 +252,17 @@ def plane_tables(plan: TranslationPlan, plane_invz, c1, f1, dx=0.0):
     by = (plan.src_h - plan.out_h) / 2.0
     tx = bx - f1 * c1[0] * invz + dx + plan.pad_lo_x
     ty = by - f1 * c1[1] * invz + plan.pad_lo_y
+    # snap near-integer shifts to EXACT integers: snap grids place planes
+    # at integer parallax by construction, but the f32 table arithmetic
+    # drifts the product by ~1e-4 px — restoring the intended integer
+    # lets the Pallas kernel take its lerp-free slice branch (fx == 0)
+    # and costs at most a 1e-3 px move of a plane that was meant to be
+    # integral anyway. The XLA oracle shares these tables, so the two
+    # paths stay arithmetically identical on any grid.
+    tx_r = jnp.round(tx)
+    ty_r = jnp.round(ty)
+    tx = jnp.where(jnp.abs(tx - tx_r) < 1e-3, tx_r, tx)
+    ty = jnp.where(jnp.abs(ty - ty_r) < 1e-3, ty_r, ty)
     # saturate out-of-plan shifts at the pad border (edge-clamp behaviour;
     # visibility is zero out there anyway)
     tx = jnp.clip(tx, 0.0, plan.tab_span_x - 1e-3)

@@ -232,6 +232,18 @@ def test_pallas_batch_equals_per_pose(rng):
             jnp.asarray(bg), plan=plan, num_planes=K, interpret=True,
         )
     )
+    # the pass-1 variants are arithmetically identical: 'grouped' (the
+    # default — _GROUP planes per iteration, crossing state chained
+    # through registers) must match 'two_pass' exactly
+    two_pass = np.asarray(
+        render_translation_batch_pallas(
+            jnp.asarray(rgb), jnp.asarray(disp), jnp.asarray(mask),
+            izmin, izmax, jnp.asarray(c1_b), f1, jnp.asarray(plane),
+            jnp.asarray(bg), plan=plan, num_planes=K, variant="two_pass",
+            interpret=True,
+        )
+    )
+    assert np.abs(batched - two_pass).max() == 0.0
     for i in range(3):
         single = np.asarray(
             render_translation_pallas(
@@ -279,6 +291,46 @@ def test_render_fast_batch_matches_per_frame(rng):
     for i, cam in enumerate(cams_r):
         single = np.asarray(render_fast_view(proj, cam, num_planes=24))
         assert np.abs(batched_r[i] - single).max() < 1e-5, f"rotated frame {i}"
+
+
+def test_render_fast_batch_fused_postprocess(rng):
+    """postprocess= runs INSIDE the compiled core (one dispatch instead
+    of render + a separately-jitted postprocess, docs/TPU_NOTES.md) and
+    must equal applying the same function to the returned batch — on the
+    plain path, the odd-width (wpad) path, and the pose-chunked path."""
+    import jax.numpy as jnp
+
+    from lif_tpu import Camera, projector_from_arrays, render_fast_batch
+    from lif_tpu.config import DEFAULT_CONFIG
+
+    h, w = 64, 124  # 124 % 8 != 0 -> the width-pad path
+    rgb, disp, _ = _scene(rng, h=h, w=w)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.1, baseline=1.0
+    )
+    cams = [
+        Camera.create(w, h, focal_px=0.78 * w, position=[0.015 * i, 0.0, 0.0])
+        for i in range(1, 6)
+    ]
+
+    def reduce_img(img):
+        return jnp.sum(img, axis=(1, 2, 3))
+
+    imgs = np.asarray(render_fast_batch(proj, cams, num_planes=48))
+    assert imgs.shape == (5, h, w, 4)
+    fused = np.asarray(
+        render_fast_batch(proj, cams, num_planes=48, postprocess=reduce_img)
+    )
+    np.testing.assert_allclose(fused, imgs.sum(axis=(1, 2, 3)), rtol=1e-5)
+
+    # pose-chunked: 5 poses over chunks of 2 (lax.map inside the jit)
+    cfg = DEFAULT_CONFIG.replace(pose_chunk=2)
+    fused_c = np.asarray(
+        render_fast_batch(
+            proj, cams, num_planes=48, config=cfg, postprocess=reduce_img
+        )
+    )
+    np.testing.assert_allclose(fused_c, fused, rtol=1e-5)
 
 
 def test_renderer_fast_auto_uses_march(rng):
