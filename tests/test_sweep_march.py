@@ -293,6 +293,34 @@ def test_render_fast_batch_matches_per_frame(rng):
         assert np.abs(batched_r[i] - single).max() < 1e-5, f"rotated frame {i}"
 
 
+def test_snap_grid_shift_tables_are_exact_integers(rng):
+    """Snap grids place planes at integer parallax; plane_tables must
+    deliver fx == 0.0 EXACTLY there (it snaps the ~1e-4 px f32 table
+    drift), because the Pallas kernel's lerp-free slice branch keys on
+    fx == 0 — a drifted table silently pays the bilinear lerp on every
+    plane."""
+    import jax.numpy as jnp
+
+    f1, cx, izmin, izmax = 997.3, 0.137, 2.0, 0.1
+    plane, K = sweep_march.snap_plane_table(f1, cx, izmin, izmax)
+    plan = sweep_march.translation_plan(
+        1280, 800, 1280, 800, f1 * cx * izmin, 0.0
+    )
+    ix, fx, _, _ = sweep_march.plane_tables(
+        plan, jnp.asarray(plane), jnp.asarray([cx, 0.0, 0.0]), f1
+    )
+    fx = np.asarray(fx)
+    # only REAL planes: the bucketing pad sits above izmin (thresholds
+    # > 1, pruned by k_lo — its shifts are legitimately fractional), and
+    # the range endpoints may land off-integer by construction
+    real = np.asarray(plane) <= izmin + 1e-6
+    frac = fx[real]
+    assert (frac == 0.0).mean() > 0.95, (
+        f"only {(frac == 0.0).mean():.0%} of snap-plane shifts are exact "
+        "integers — the slice branch is not being taken"
+    )
+
+
 def test_render_fast_batch_fused_postprocess(rng):
     """postprocess= runs INSIDE the compiled core (one dispatch instead
     of render + a separately-jitted postprocess, docs/TPU_NOTES.md) and
