@@ -41,9 +41,13 @@ W, H = (640, 400) if SMOKE else (1280, 800)
 REPS = 1 if SMOKE else 5
 CONV_STEPS = 64 if SMOKE else 640
 ORBIT_FRAMES = 12 if SMOKE else 120
-N_PAIRS = 4 if SMOKE else 60
+# 48 pairs = 96 eye outputs = exactly two pose_chunk(48) chunks in one
+# dispatch, no tail padding
+N_PAIRS = 4 if SMOKE else 48
 BATCH_STREAM = 8 if SMOKE else 40
-BATCH_BIG = 16 if SMOKE else 400
+# multiple of config.pose_chunk (48): the pose-chunked lax.map pads the
+# tail chunk, so e.g. 400 would render 432 frames and bill 32 to padding
+BATCH_BIG = 16 if SMOKE else 432
 
 
 def _sync(x):
@@ -111,6 +115,12 @@ def main():
     def _reduce(img):
         return jnp.sum(img) * 1e-9
 
+    def _rpp(img):
+        # fused into the render dispatch via postprocess= (one relay
+        # round trip per step instead of two, docs/TPU_NOTES.md); a
+        # single stable function object so the core caches hit
+        return jnp.sum(img) * 1e-9
+
     poses0 = [fixed_pos + [0.001 * i, 0, 0]
               for i in range(4 if SMOKE else 20)]
     _ = _sync(render_fast_view(proj, cam_at(poses0[0]), method="march"))
@@ -124,12 +134,12 @@ def main():
     fps_seq = _median_rate(seq_pass, len(poses0), reps=3)
     cams0b = [cam_at(fixed_pos + [0.0005 * i, 0, 0])
               for i in range(BATCH_STREAM)]
-    _ = float(_reduce(render_fast_batch(proj, cams0b)))
+    _ = float(render_fast_batch(proj, cams0b, postprocess=_rpp))
 
     bp_reps = 2 if SMOKE else 4
 
     def batch_pass():
-        acc = [_reduce(render_fast_batch(proj, cams0b))
+        acc = [render_fast_batch(proj, cams0b, postprocess=_rpp)
                for _ in range(bp_reps)]
         _ = float(jnp.sum(jnp.stack(acc)))
 
@@ -141,13 +151,13 @@ def main():
     # ~50 ms per-dispatch overhead that wall fps carries
     cams0_400 = [cam_at(fixed_pos + [0.02 * i / BATCH_BIG, 0, 0])
                  for i in range(BATCH_BIG)]
-    _ = float(_reduce(render_fast_batch(proj, cams0_400)))
+    _ = float(render_fast_batch(proj, cams0_400, postprocess=_rpp))
 
     def _one_dispatch_seconds(cams, reps=2 if SMOKE else 5):
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            _ = float(_reduce(render_fast_batch(proj, cams)))
+            _ = float(render_fast_batch(proj, cams, postprocess=_rpp))
             ts.append(time.time() - t0)
         return float(np.median(ts))
 
@@ -183,7 +193,7 @@ def main():
     cams = [cam_at(p, r) for p, r in orbit_poses]
 
     def orbit_pass():
-        _sync(render_fast_batch(proj, cams))
+        _ = float(render_fast_batch(proj, cams, postprocess=_rpp))
 
     orbit_pass()  # compile
     fps_orbit = _median_rate(orbit_pass, len(cams), reps=3)
@@ -228,10 +238,12 @@ def main():
         dx = 0.0005 * i
         stereo_cams.append(cam_at([-eye + dx, 0, 0]))
         stereo_cams.append(cam_at([eye + dx, 0, 0]))
-    _ = _sync(render_stereo_fast_batch(left, right, stereo_cams))
+    _ = float(render_stereo_fast_batch(left, right, stereo_cams,
+                                       postprocess=_rpp))
 
     def stereo_pass():
-        _sync(render_stereo_fast_batch(left, right, stereo_cams))
+        _ = float(render_stereo_fast_batch(left, right, stereo_cams,
+                                           postprocess=_rpp))
 
     pairs_rate = _median_rate(stereo_pass, n_pairs)
     # pair quality: the fast blend vs the exact two-view kernel at a
@@ -292,15 +304,16 @@ def main():
         rgb0, disp0, focal_px=focal, invz_min=0.09, invz_max=0.0001,
         baseline=0.045, extra_layers=layers,
     ).to_device()
-    # 200-pose single pose-chunked dispatch (the production trajectory
-    # shape; 20 poses leave the ~50 ms relay overhead dominant)
-    n3 = 24 if SMOKE else 200
+    # single pose-chunked dispatch (the production trajectory shape;
+    # 20 poses leave the ~50 ms relay overhead dominant); 192 = 4 full
+    # pose_chunk(48) chunks, no tail padding
+    n3 = 24 if SMOKE else 192
     cams3 = [cam_at(fixed_pos + [0.02 * i / n3, 0, 0])
              for i in range(n3)]
-    _ = _sync(render_fast_batch(proj3, cams3))
+    _ = float(render_fast_batch(proj3, cams3, postprocess=_rpp))
 
     def ldi_pass():
-        _sync(render_fast_batch(proj3, cams3))
+        _ = float(render_fast_batch(proj3, cams3, postprocess=_rpp))
 
     ldi_rate = _median_rate(ldi_pass, len(cams3))
     ldi_fast = render_fast_batch(proj3, cams3[:1])[0]
@@ -309,7 +322,7 @@ def main():
     q_ldi = _psnr(ldi_fast, ldi_conv)
     results["config3_ldi_3layer"] = {
         "layers": 3,
-        "fast_fps_batch200_one_dispatch": round(ldi_rate, 1),
+        "fast_fps_batch192_one_dispatch": round(ldi_rate, 1),
         "ms_per_frame": round(1000.0 / ldi_rate, 1),
         "psnr_vs_converged_dB": round(float(q_ldi), 2),
         "statistic": "median of 5 passes",
@@ -341,10 +354,10 @@ def main():
                       position=[0.05 + 0.002 * j, 0.0, 0.0])
         for j in range(n)
     ]
-    _ = _sync(render_fused_fast_batch(projs4, cams4))
+    _ = float(render_fused_fast_batch(projs4, cams4, postprocess=_rpp))
 
     def fused_pass():
-        _sync(render_fused_fast_batch(projs4, cams4))
+        _ = float(render_fused_fast_batch(projs4, cams4, postprocess=_rpp))
 
     fused_rate = _median_rate(fused_pass, n, reps=3)
     # fusion fidelity at the flagship resolution: the fast fused

@@ -1469,9 +1469,15 @@ def render_stereo_fast_batch(
     num_planes: int | None = None,
     refine: int | None = None,
     config: RenderConfig | None = None,
+    postprocess=None,
 ):
     """Fast two-view (stereo) blended rendering for a batch of cameras in
     ONE device dispatch. Returns (B, H, W, 4).
+
+    postprocess: optional traceable callable applied to the finished
+    (B, H, W, 4) batch INSIDE the compiled core (see render_fast_batch —
+    one relay dispatch per step instead of two; pass a stable function
+    object, the core cache keys on its identity).
 
     The actual stereo kernel semantics — per-layer raycast of BOTH views,
     baseline-projection view weight, sequential occlusion fill, weighted
@@ -1658,6 +1664,7 @@ def render_stereo_fast_batch(
         out_w=cam0.width,
         out_h=cam0.height,
         pose_chunk=cfg.pose_chunk,
+        postprocess=postprocess,
     )
 
     def _args(prep, tables, doffs, setups, projector):
@@ -1730,6 +1737,7 @@ def _stereo_fast_core(
     crops_l=None,
     crops_r=None,
     pose_chunk=0,
+    postprocess=None,
 ):
     """Traced body of render_stereo_fast_batch: per-view batched march
     tier (raw outputs), occlusion fill + view-weight blend per layer
@@ -1770,7 +1778,7 @@ def _stereo_fast_core(
         out_w=out_w, out_h=out_h, crops_l=crops_l, crops_r=crops_r,
     )
     if pose_chunk and batch > pose_chunk:
-        return _pose_chunk_map(
+        out = _pose_chunk_map(
             lambda x: _stereo_chunk_body(
                 fixed_l, fixed_r, x[0], x[1], x[2], x[3], x[4], x[5],
                 f2, background, **kw,
@@ -1778,10 +1786,14 @@ def _stereo_fast_core(
             (c1l_b, c1r_b, rotl_b, rotr_b, pp_l, pp_r),
             batch, pose_chunk,
         )
-    return _stereo_chunk_body(
-        fixed_l, fixed_r, c1l_b, c1r_b, rotl_b, rotr_b, pp_l, pp_r,
-        f2, background, **kw,
-    )
+    else:
+        out = _stereo_chunk_body(
+            fixed_l, fixed_r, c1l_b, c1r_b, rotl_b, rotr_b, pp_l, pp_r,
+            f2, background, **kw,
+        )
+    if postprocess is not None:
+        out = postprocess(out)
+    return out
 
 
 def _stereo_chunk_body(
@@ -2113,6 +2125,7 @@ def render_fused_fast_batch(
     num_planes: int | None = None,
     mask_mode: str | None = None,
     config: RenderConfig | None = None,
+    postprocess=None,
 ):
     """Multi-projector nearest-depth fusion on the fast march for a batch
     of poses in ONE compiled dispatch — the single-chip equivalent of
@@ -2233,6 +2246,7 @@ def render_fused_fast_batch(
         to_srgb=to_srgb,
         fuse_tol=float(cfg.fuse_tol),
         pose_chunk=cfg.pose_chunk,
+        postprocess=postprocess,
     )
     return core(
         tuple(all_args), tuple(c1s),
@@ -2259,6 +2273,7 @@ def _fused_fast_core(
     to_srgb,
     fuse_tol,
     pose_chunk=0,
+    postprocess=None,
 ):
     """Traced body of render_fused_fast_batch: per-projector LDI
     composite on the batched march (raw), then the tolerance-blended
@@ -2303,9 +2318,10 @@ def _fused_fast_core(
                 fuse_tol=fuse_tol, pose_chunk=0,
             )
 
-        return _pose_chunk_map(
+        out = _pose_chunk_map(
             _chunk, (tuple(c1s), pp_tabs), batch, pose_chunk
         )
+        return postprocess(out) if postprocess is not None else out
     zero_bg = jnp.zeros(4, jnp.float32)
     view_rgb, view_a, view_front = [], [], []
     for layers, plan_l, num_l, m_mode, c1 in zip(
@@ -2350,9 +2366,10 @@ def _fused_fast_core(
     color = jnp.sum(w[..., None] * rgb_s, axis=0) / wsum[..., None]
     alpha = jnp.sum(w * a_s, axis=0) / wsum
     alpha = jnp.where(jnp.isfinite(best), alpha, 0.0)
-    return _composite.finish_over_background(
+    out = _composite.finish_over_background(
         color, alpha, background, to_srgb
     )
+    return postprocess(out) if postprocess is not None else out
 
 
 def _fusion_weights(key, best, hit, tol: float):

@@ -122,6 +122,39 @@ def test_fused_fast_batch_matches_single(rng):
         assert np.abs(batched[i] - single).max() < 1e-5, i
 
 
+def test_fused_fast_batch_postprocess(rng):
+    """postprocess= runs inside the compiled fused core (one dispatch)
+    and equals applying the function after — including through the
+    pose-chunked lax.map path."""
+    import jax.numpy as jnp
+
+    from lif_tpu.config import DEFAULT_CONFIG
+    from lif_tpu.models.renderer import render_fused_fast_batch
+
+    h, w = 64, 96
+    projs = [_proj(rng, h, w, x) for x in (-0.02, 0.02)]
+    cams = [
+        Camera.create(w, h, focal_px=0.78 * w, position=[0.004 * i, 0.0, 0.0])
+        for i in range(5)
+    ]
+
+    def per_frame_sum(img):
+        return jnp.sum(img, axis=(1, 2, 3))
+
+    imgs = np.asarray(render_fused_fast_batch(projs, cams))
+    fused = np.asarray(
+        render_fused_fast_batch(projs, cams, postprocess=per_frame_sum)
+    )
+    np.testing.assert_allclose(fused, imgs.sum(axis=(1, 2, 3)), rtol=1e-5)
+    cfg = DEFAULT_CONFIG.replace(pose_chunk=2)
+    fused_c = np.asarray(
+        render_fused_fast_batch(
+            projs, cams, config=cfg, postprocess=per_frame_sum
+        )
+    )
+    np.testing.assert_allclose(fused_c, fused, rtol=1e-5)
+
+
 def test_fused_nearest_wins_across_different_baselines(rng):
     """The merge key is ABSOLUTE inverse depth: a projector with surface
     at 1 m must beat one at 2 m regardless of their baselines (the

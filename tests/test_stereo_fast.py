@@ -110,6 +110,30 @@ def test_stereo_fast_batch_matches_single(rng):
         assert np.abs(batched[i] - single).max() < 1e-5, i
 
 
+def test_stereo_fast_fused_postprocess(rng):
+    """postprocess= runs inside the compiled stereo core (one dispatch,
+    see render_fast_batch) and equals applying the function after."""
+    import jax.numpy as jnp
+
+    h, w = 64, 96
+    left, right = _pair(rng, h, w, 0.03)
+    cams = [
+        Camera.create(w, h, focal_px=0.78 * w, position=[x, 0.0, 0.0])
+        for x in (-0.02, 0.0, 0.015)
+    ]
+
+    def per_frame_sum(img):
+        return jnp.sum(img, axis=(1, 2, 3))
+
+    imgs = np.asarray(render_stereo_fast_batch(left, right, cams, num_planes=64))
+    fused = np.asarray(
+        render_stereo_fast_batch(
+            left, right, cams, num_planes=64, postprocess=per_frame_sum
+        )
+    )
+    np.testing.assert_allclose(fused, imgs.sum(axis=(1, 2, 3)), rtol=1e-5)
+
+
 def test_stereo_fast_ldi_masked(rng):
     """2-layer LDI with masks: the dilated hard-discard semantics keep the
     fast path close to the exact stereo kernel (mask-edge flips excluded,
