@@ -362,38 +362,64 @@ def _plan_march_tier(
     if dx_user == 0.0:
         # the target tier plans at the true width only (its 128-lane
         # group layout has no pad fold; plan_target raises for
-        # non-128-divisible widths, so padded calls skip it outright)
-        try:
-            tplan, xlo_t, ylo_t = _sweep_target.plan_target(
-                lay["w"], lay["h"], out_w_true, out_h,
-                lay["focal_host"], f2_host, rot_list, pos_list,
-                lay["izmin_host"], lay["izmax_host"],
-            )
-            grids_t, k_t = _sweep_target.target_plane_grids(
-                rot_list, pos_list, lay["focal_host"], f2_host,
-                out_w_true, out_h, lay["w"], lay["h"],
-                lay["izmin_host"], lay["izmax_host"],
-                step_px=cfg.target_step_px, num_planes=explicit_planes,
-            )
-            poses_t = np.stack([
-                _sweep_target.target_pose_scalars(
-                    r, c, lay["focal_host"], f2_host, out_w_true,
-                    out_h, lay["w"], lay["h"],
+        # non-128-divisible widths, so padded calls skip it outright).
+        # The whole plan (window tables, per-pose ladders, pose scalar
+        # pack — ~130 ms of host numpy for a 120-pose batch, plus the
+        # device uploads) is memoized on the exact pose batch: replayed
+        # trajectories (benchmark reps, orbit loops, fixed camera paths)
+        # pay the planning once.
+        key = (
+            lay["w"], lay["h"], out_w_true, out_h,
+            lay["focal_host"], f2_host,
+            lay["izmin_host"], lay["izmax_host"],
+            cfg.target_step_px, explicit_planes,
+            np.asarray(rot_list, np.float64).tobytes(),
+            np.asarray(pos_list, np.float64).tobytes(),
+        )
+        hit = _TARGET_PLAN_CACHE.get(key)
+        if hit is not None:
+            _TARGET_PLAN_CACHE.move_to_end(key)
+            if hit == "ineligible":
+                pass  # fall through to the rotated tier below
+            else:
+                return hit
+        else:
+            try:
+                tplan, xlo_t, ylo_t = _sweep_target.plan_target(
+                    lay["w"], lay["h"], out_w_true, out_h,
+                    lay["focal_host"], f2_host, rot_list, pos_list,
+                    lay["izmin_host"], lay["izmax_host"],
                 )
-                for r, c in zip(rot_list, pos_list)
-            ])
-            return (
-                "target",
-                (tplan, k_t),
-                {
-                    "pose_sc": jnp.asarray(poses_t, jnp.float32),
-                    "grids": jnp.asarray(grids_t, jnp.float32),
-                    "xlo": jnp.asarray(xlo_t, jnp.int32),
-                    "ylo": jnp.asarray(ylo_t, jnp.int32),
-                },
-            )
-        except ValueError:
-            pass
+                grids_t, k_t = _sweep_target.target_plane_grids(
+                    rot_list, pos_list, lay["focal_host"], f2_host,
+                    out_w_true, out_h, lay["w"], lay["h"],
+                    lay["izmin_host"], lay["izmax_host"],
+                    step_px=cfg.target_step_px, num_planes=explicit_planes,
+                )
+                poses_t = np.stack([
+                    _sweep_target.target_pose_scalars(
+                        r, c, lay["focal_host"], f2_host, out_w_true,
+                        out_h, lay["w"], lay["h"],
+                    )
+                    for r, c in zip(rot_list, pos_list)
+                ])
+                entry = (
+                    "target",
+                    (tplan, k_t),
+                    {
+                        "pose_sc": jnp.asarray(poses_t, jnp.float32),
+                        "grids": jnp.asarray(grids_t, jnp.float32),
+                        "xlo": jnp.asarray(xlo_t, jnp.int32),
+                        "ylo": jnp.asarray(ylo_t, jnp.int32),
+                    },
+                )
+            except ValueError:
+                entry = None
+            _TARGET_PLAN_CACHE[key] = entry or "ineligible"
+            while len(_TARGET_PLAN_CACHE) > _TARGET_PLAN_CACHE_MAX:
+                _TARGET_PLAN_CACHE.popitem(last=False)
+            if entry is not None:
+                return entry
     plan, wi, hi, aligned, grids, k_l, skip = _rotated_march.plan_rotated(
         lay["w"], lay["h"], out_w_true, out_h,
         lay["focal_host"], f2_host, rot_list, pos_list,
@@ -449,6 +475,13 @@ def _transposed_target_ok(prepared, f2_host, cam0, rot_list, pos_list):
 
 _TRANSPOSED_CACHE: "_OrderedDict" = _OrderedDict()
 _TRANSPOSED_CACHE_MAX = 8
+
+# target-tier host plans memoized on the exact pose batch (see
+# _plan_march_tier); entries hold the device-resident window tables and
+# pose packs, so a hit also skips the uploads. "ineligible" caches
+# plan_target's ValueError (the rotated-tier fallback decision).
+_TARGET_PLAN_CACHE: "_OrderedDict" = _OrderedDict()
+_TARGET_PLAN_CACHE_MAX = 8
 
 # x<->y axis swap: transposing every image corresponds to conjugating
 # all camera-space quantities by this permutation (rays swap the same
@@ -1205,6 +1238,20 @@ def _fast_batch_core_jit(**statics):
     return _memo_jit(_fast_batch_core, _FAST_BATCH_CORE_CACHE, **statics)
 
 
+def _balanced_chunk(batch, pose_chunk):
+    """Balanced pose-chunk size: ceil(batch / n_chunks) for the chunk
+    count the nominal size implies. Same number of lax.map steps, but
+    tail padding drops from up-to-(pose_chunk - 1) wasted poses to at
+    most (n_chunks - 1) — e.g. batch=120 at pose_chunk=48 renders
+    3 x 40 instead of 3 x 48 (20% of the kernel work was padding).
+    `batch` is a static jit arg everywhere this is used, so the
+    balanced size costs no extra recompiles."""
+    if not pose_chunk or batch <= pose_chunk:
+        return pose_chunk
+    n_chunks = -(-batch // pose_chunk)
+    return -(-batch // n_chunks)
+
+
 def _pose_chunk_map(body, xs, batch, pose_chunk):
     """Run `body` over fixed-size pose chunks of the per-pose pytree
     `xs` as a lax.map INSIDE one jitted program: the tail chunk is
@@ -1212,7 +1259,12 @@ def _pose_chunk_map(body, xs, batch, pose_chunk):
     the compiled body stays one-chunk-sized while one device dispatch
     serves the whole trajectory. Shared by the mono, stereo, and fused
     fast cores — the per-pose/fixed input split stays at each site (the
-    key heuristics differ), the chunking mechanics live here."""
+    key heuristics differ), the chunking mechanics live here.
+
+    Callers must pass a pose_chunk already balanced via
+    _balanced_chunk(batch, nominal): the chunk body they build closes
+    over the same size (static kernel batch), so the balancing cannot
+    happen here alone."""
     n_chunks = -(-batch // pose_chunk)
     pad_n = n_chunks * pose_chunk - batch
 
@@ -1294,6 +1346,7 @@ def _fast_batch_core(
         for lay, pp in zip(layers, pp_layers)
     )
     if pose_chunk and batch > pose_chunk:
+        pose_chunk = _balanced_chunk(batch, pose_chunk)
         out = _pose_chunk_map(
             lambda x: _fast_chunk_body(
                 fixed_layers, x[0], x[1], x[2], f2, background,
@@ -1778,6 +1831,7 @@ def _stereo_fast_core(
         out_w=out_w, out_h=out_h, crops_l=crops_l, crops_r=crops_r,
     )
     if pose_chunk and batch > pose_chunk:
+        pose_chunk = _balanced_chunk(batch, pose_chunk)
         out = _pose_chunk_map(
             lambda x: _stereo_chunk_body(
                 fixed_l, fixed_r, x[0], x[1], x[2], x[3], x[4], x[5],
@@ -2319,7 +2373,8 @@ def _fused_fast_core(
             )
 
         out = _pose_chunk_map(
-            _chunk, (tuple(c1s), pp_tabs), batch, pose_chunk
+            _chunk, (tuple(c1s), pp_tabs), batch,
+            _balanced_chunk(batch, pose_chunk),
         )
         return postprocess(out) if postprocess is not None else out
     zero_bg = jnp.zeros(4, jnp.float32)

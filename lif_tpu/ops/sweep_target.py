@@ -121,6 +121,27 @@ def _shader_rotation_np(rot):
     return flip @ np.asarray(rot, np.float64).T @ flip
 
 
+def _pose_fields_batch_np(rot_b, c1_b, f1, f2, out_w, out_h, src_w, src_h):
+    """Vectorized _pose_fields_np over the pose batch: (B, 3, 3) p_ts and
+    (B, 3) c_vec without a Python loop (plan_target's per-pose numpy loop
+    measured ~1 ms/pose — 120 ms of host time per 120-pose plan call).
+    The diagonal focal matrices become row/column scalings; the z-flip
+    conjugation is a sign pattern on the transposed rotation. Values are
+    fp-equivalent (not bit-identical: inv(diag(f2/w)) vs w/f2 rounds
+    once, not twice) — plan_target's ±2 px slack dwarfs the ~1e-13
+    relative difference, and the kernel-facing scalars
+    (target_pose_scalars) still use the exact per-pose path."""
+    rot = np.asarray(rot_b, np.float64)  # (B, 3, 3)
+    s = np.array([1.0, 1.0, -1.0])
+    skr1 = s[None, :, None] * s[None, None, :] * np.swapaxes(rot, 1, 2)
+    row = np.array([f1 / src_w, f1 / src_h, 1.0])
+    fskr1 = row[None, :, None] * skr1
+    col = np.array([out_w / f2, out_h / f2, 1.0])
+    p_ts = fskr1 * col[None, None, :]
+    c_vec = np.einsum("bij,bj->bi", fskr1, -np.asarray(c1_b, np.float64))
+    return p_ts, c_vec
+
+
 def _mat_from_focal_np(fx, fy):
     return np.diag([fx, fy, 1.0])
 
@@ -223,93 +244,105 @@ def plan_target(
     nc = hp_out // _LC
     b_n = len(rot_list)
 
-    xlo_all = np.zeros((b_n, ng), np.int64)
     ylo_all = np.zeros((b_n, ng, nc), np.int64)
-    xhi_all = np.zeros((b_n, ng), np.int64)
     yhi_all = np.zeros((b_n, ng, nc), np.int64)
     nx_need = 0
     ny_need = 0
     gspan_px = 0
 
-    for bi, (rot1, c1) in enumerate(zip(rot_list, c1_list)):
-        p_ts, c_vec = _pose_fields_np(rot1, c1, f1, f2, out_w, out_h,
-                                      src_w, src_h)
-        # yaw gate: X must not depend on the target row
-        jg = (np.arange(nb + 1) * _TW).astype(np.float64)
-        sxg = (jg + 0.5) / out_w - 0.5  # band edges (+ right edge)
-        for syg in (-0.5, 0.5):
-            qx_t, _ = _proj_np(p_ts, sxg, syg)
-            qx_m, _ = _proj_np(p_ts, sxg, 0.0)
-            dxv = np.abs(qx_t - qx_m) * src_w
-            dvx = np.abs(c_vec[2] * (qx_t - qx_m)) * src_w * izmin
-            if (dxv + dvx).max() > yaw_tol_px:
-                raise ValueError(
-                    "rotation has row-dependent x positions "
-                    f"(max {float((dxv + dvx).max()):.2f} px > "
-                    f"{yaw_tol_px}); not a yaw-family pose"
-                )
-        # band-edge positions: X(j, v) = AX + v DX, monotone in j; v in
-        # {izmax, izmin} covers the v range (affine in v)
-        qx_e, _ = _proj_np(p_ts, sxg, 0.0)
-        ax_e = (qx_e + 0.5) * src_w - 0.5
-        dx_e = (c_vec[0] - c_vec[2] * qx_e) * src_w
-        # per-band x candidate need, DIAGONAL: candidates ride the
-        # target column (slab[o + j], the scaled kernel's slide), so the
-        # span is the deviation of (pos(j) - j) across a band — the
-        # band's footprint only enters through |scale - 1|
+    # batched pose fields: (B, 3, 3) / (B, 3); every per-pose quantity
+    # below carries a leading batch axis instead of a Python loop
+    p_ts, c_vec = _pose_fields_batch_np(
+        np.stack([np.asarray(r, np.float64) for r in rot_list]),
+        np.stack([np.asarray(c, np.float64) for c in c1_list]),
+        f1, f2, out_w, out_h, src_w, src_h,
+    )
+
+    def _proj_b(sx, sy):
+        """Batched _proj_np: sx (n,) (or (B, n)), sy scalar -> (B, n)."""
+        den = (p_ts[:, 2, 0, None] * sx + p_ts[:, 2, 1, None] * sy
+               + p_ts[:, 2, 2, None])
+        qx = (p_ts[:, 0, 0, None] * sx + p_ts[:, 0, 1, None] * sy
+              + p_ts[:, 0, 2, None]) / den
+        qy = (p_ts[:, 1, 0, None] * sx + p_ts[:, 1, 1, None] * sy
+              + p_ts[:, 1, 2, None]) / den
+        return qx, qy
+
+    # yaw gate: X must not depend on the target row
+    jg = (np.arange(nb + 1) * _TW).astype(np.float64)
+    sxg = (jg + 0.5) / out_w - 0.5  # band edges (+ right edge)
+    qx_m, _ = _proj_b(sxg, 0.0)
+    for syg in (-0.5, 0.5):
+        qx_t, _ = _proj_b(sxg, syg)
+        dxv = np.abs(qx_t - qx_m) * src_w
+        dvx = np.abs(c_vec[:, 2, None] * (qx_t - qx_m)) * src_w * izmin
+        if (dxv + dvx).max() > yaw_tol_px:
+            raise ValueError(
+                "rotation has row-dependent x positions "
+                f"(max {float((dxv + dvx).max()):.2f} px > "
+                f"{yaw_tol_px}); not a yaw-family pose"
+            )
+    # band-edge positions: X(j, v) = AX + v DX, monotone in j; v in
+    # {izmax, izmin} covers the v range (affine in v)
+    ax_e = (qx_m + 0.5) * src_w - 0.5  # (B, nb + 1)
+    dx_e = (c_vec[:, 0, None] - c_vec[:, 2, None] * qx_m) * src_w
+    # per-band x candidate need, DIAGONAL: candidates ride the
+    # target column (slab[o + j], the scaled kernel's slide), so the
+    # span is the deviation of (pos(j) - j) across a band — the
+    # band's footprint only enters through |scale - 1|
+    for v in (izmax, izmin):
+        diag = ax_e + v * dx_e - jg[None]
+        span_b = np.abs(diag[:, 1:] - diag[:, :-1])
+        nx_need = max(nx_need, int(np.ceil(span_b.max())) + 3)
+    # group x extents and skip-table span (group edges: X monotone)
+    ge = np.arange(0, nb + 1, _G)  # group edge indices into ax_e
+    gl_b = np.full((b_n, ng), np.inf)
+    gh_b = np.full((b_n, ng), -np.inf)
+    for v in (izmax, izmin):
+        pos = ax_e + v * dx_e
+        gl = np.minimum(pos[:, ge[:-1]], pos[:, ge[1:]])
+        gh = np.maximum(pos[:, ge[:-1]], pos[:, ge[1:]])
+        gl_b = np.minimum(gl_b, gl)
+        gh_b = np.maximum(gh_b, gh)
+        gspan_px = max(gspan_px, int(np.ceil((gh - gl).max())))
+    xlo_all = np.floor(gl_b).astype(np.int64) - 2
+    xhi_all = np.ceil(gh_b).astype(np.int64) + 2
+    # per (group, chunk) y extents from the 4 tile corners (AY - i
+    # and DY are each corner-extremal in (x, y) — qy is a Möbius map
+    # in each variable; the kernel bounds the per-plane span by the
+    # sum of corner bounds (rlo = r_min + v*d_min), so the plan
+    # budgets exactly that decomposition)
+    ig = np.minimum(np.arange(nc + 1) * _LC, out_h).astype(np.float64)
+    gx_l = sxg[ge[:-1]]
+    gx_r = sxg[ge[1:]]
+    for ci in range(nc):
+        rows = np.array([ig[ci], max(ig[ci], min(ig[ci + 1], out_h)
+                                     - 1.0)])
+        sy_c = (rows + 0.5) / out_h - 0.5
+        a_lo = np.full((b_n, ng), np.inf)
+        a_hi = np.full((b_n, ng), -np.inf)
+        d_lo = np.full((b_n, ng), np.inf)
+        d_hi = np.full((b_n, ng), -np.inf)
+        abs_lo = np.full((b_n, ng), np.inf)
+        abs_hi = np.full((b_n, ng), -np.inf)
+        for sxe in (gx_l, gx_r):
+            for rw, sye in zip(rows, sy_c):
+                _, qy_c = _proj_b(sxe, sye)  # (B, ng)
+                ay_c = (qy_c + 0.5) * src_h - 0.5
+                dy_c = (c_vec[:, 1, None] - c_vec[:, 2, None] * qy_c) * src_h
+                a_lo = np.minimum(a_lo, ay_c - (rw - ig[ci]))
+                a_hi = np.maximum(a_hi, ay_c - (rw - ig[ci]))
+                d_lo = np.minimum(d_lo, dy_c)
+                d_hi = np.maximum(d_hi, dy_c)
+                for v in (izmax, izmin):
+                    pos = ay_c + v * dy_c
+                    abs_lo = np.minimum(abs_lo, pos)
+                    abs_hi = np.maximum(abs_hi, pos)
+        ylo_all[:, :, ci] = np.floor(abs_lo).astype(np.int64) - 2
+        yhi_all[:, :, ci] = np.ceil(abs_hi).astype(np.int64) + 2
         for v in (izmax, izmin):
-            diag = ax_e + v * dx_e - jg
-            span_b = np.abs(diag[1:] - diag[:-1])
-            nx_need = max(nx_need, int(np.ceil(span_b.max())) + 3)
-        # group x extents and skip-table span (group edges: X monotone)
-        ge = np.arange(0, nb + 1, _G)  # group edge indices into ax_e
-        gl_b = np.full(ng, np.inf)
-        gh_b = np.full(ng, -np.inf)
-        for v in (izmax, izmin):
-            pos = ax_e + v * dx_e
-            gl = np.minimum(pos[ge[:-1]], pos[ge[1:]])
-            gh = np.maximum(pos[ge[:-1]], pos[ge[1:]])
-            gl_b = np.minimum(gl_b, gl)
-            gh_b = np.maximum(gh_b, gh)
-            gspan_px = max(gspan_px, int(np.ceil((gh - gl).max())))
-        xlo_all[bi] = np.floor(gl_b).astype(np.int64) - 2
-        xhi_all[bi] = np.ceil(gh_b).astype(np.int64) + 2
-        # per (group, chunk) y extents from the 4 tile corners (AY - i
-        # and DY are each corner-extremal in (x, y) — qy is a Möbius map
-        # in each variable; the kernel bounds the per-plane span by the
-        # sum of corner bounds (rlo = r_min + v*d_min), so the plan
-        # budgets exactly that decomposition)
-        ig = np.minimum(np.arange(nc + 1) * _LC, out_h).astype(np.float64)
-        gx_l = sxg[ge[:-1]]
-        gx_r = sxg[ge[1:]]
-        for ci in range(nc):
-            rows = np.array([ig[ci], max(ig[ci], min(ig[ci + 1], out_h)
-                                         - 1.0)])
-            sy_c = (rows + 0.5) / out_h - 0.5
-            a_lo = np.full(ng, np.inf)
-            a_hi = np.full(ng, -np.inf)
-            d_lo = np.full(ng, np.inf)
-            d_hi = np.full(ng, -np.inf)
-            abs_lo = np.full(ng, np.inf)
-            abs_hi = np.full(ng, -np.inf)
-            for sxe in (gx_l, gx_r):
-                for rw, sye in zip(rows, sy_c):
-                    _, qy_c = _proj_np(p_ts, sxe, sye)
-                    ay_c = (qy_c + 0.5) * src_h - 0.5
-                    dy_c = (c_vec[1] - c_vec[2] * qy_c) * src_h
-                    a_lo = np.minimum(a_lo, ay_c - (rw - ig[ci]))
-                    a_hi = np.maximum(a_hi, ay_c - (rw - ig[ci]))
-                    d_lo = np.minimum(d_lo, dy_c)
-                    d_hi = np.maximum(d_hi, dy_c)
-                    for v in (izmax, izmin):
-                        pos = ay_c + v * dy_c
-                        abs_lo = np.minimum(abs_lo, pos)
-                        abs_hi = np.maximum(abs_hi, pos)
-            ylo_all[bi, :, ci] = np.floor(abs_lo).astype(np.int64) - 2
-            yhi_all[bi, :, ci] = np.ceil(abs_hi).astype(np.int64) + 2
-            for v in (izmax, izmin):
-                span_v = (a_hi + v * d_hi) - (a_lo + v * d_lo)
-                ny_need = max(ny_need, int(np.ceil(span_v.max())) + 3)
+            span_v = (a_hi + v * d_hi) - (a_lo + v * d_lo)
+            ny_need = max(ny_need, int(np.ceil(span_v.max())) + 3)
 
     if nx_need > nxc_cap:
         raise ValueError(f"x candidate span {nx_need} > cap {nxc_cap}")
