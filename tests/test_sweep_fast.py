@@ -136,3 +136,36 @@ def test_solve_depth_aligned(rng):
     ))
     interior = invz_map[4:-4, 4:-4]
     np.testing.assert_allclose(interior, expected, rtol=2e-3)
+
+
+def test_sweep_fallback_warns(rng):
+    """A layer demoted to the approximate plane sweep must WARN (round-3
+    VERDICT weak 6: a silent 15 dB drop for library callers). The scene:
+    a rotated pose too large for the march tiers at this tiny scale, so
+    the matched-focal layer falls back to the sweep."""
+    import warnings
+
+    from lif_tpu.models.renderer import (
+        TierFallbackWarning,
+        render_fast_batch,
+    )
+    from lif_tpu.core.pose import orbit_pose
+
+    h, w = 32, 48
+    proj = projector_from_arrays(
+        rng.random((h, w, 3)).astype(np.float32),
+        smooth_noise(rng, h, w).astype(np.float32),
+        focal_px=0.78 * w, invz_min=2.0, invz_max=0.2, baseline=1.0,
+    )
+    pos, rot = orbit_pose([0, 0, -1], 1.0, 0.15)
+    cam = Camera.create(w, h, focal_px=0.78 * w, position=pos,
+                        rotation=rot)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _, tiers = render_fast_batch(proj, [cam], return_tiers=True)
+    fired = [r for r in rec if issubclass(r.category, TierFallbackWarning)]
+    if "sweep" in tiers:
+        assert fired, "sweep demotion must warn"
+        assert "plane-sweep" in str(fired[0].message)
+    else:  # planner budgets widened enough that no layer fell back
+        assert not fired
