@@ -46,6 +46,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -86,6 +87,17 @@ def _kernel(
     #     operand's last dim to 128 (1-D only to 512 elements), an ~18x
     #     blowup for nc=7 that would cap the pose batch
     cm3,  # (ncellx * nc,) f32: sliding disp max over plan.gspan cells
+    occ2,  # (ncellx * nc * 2,) i32: 64-bucket VALUE-INTERVAL occupancy
+    #     bitmask (2 words/cell) over the same sliding region — bit b is
+    #     set iff some 2x2 texel patch's [min, max] hull intersects
+    #     bucket [b/64, (b+1)/64). A first crossing at plane k forces a
+    #     continuous interpolated-value path through [thr_k, thr_{k-1}]
+    #     (intermediate-value theorem on the march segment; bilinear
+    #     values live in patch hulls), so a plane whose threshold
+    #     interval hits no occupied bucket cannot host one. Unlike the
+    #     max test, this prunes planes BETWEEN surfaces: measured 284 ->
+    #     173 active planes/program on the config1 orbit
+    #     (scratch/prof4d.py)
     klo_t,  # (B * ng * nc,) i32: first plane whose skip test can pass
     khi_t,  # (B * ng * nc,) i32: exclusive end (window MIN in front)
     pose_ref,  # (1, 1, 16) SMEM pose scalars: p_ts row-major, c_vec
@@ -340,6 +352,13 @@ def _kernel(
     def _tab(ch, k):
         return vt_ref[0, ch, k]
 
+    def _bits_below(n):
+        # i32 mask of the n low bits, n in [0, 32] (scalar)
+        return jnp.where(
+            n >= 32, jnp.int32(-1),
+            (jnp.int32(1) << jnp.clip(n, 0, 31)) - jnp.int32(1),
+        )
+
     def pass1(k, _):
         crossflag[k] = 0.0
         v = _tab(0, k)
@@ -352,8 +371,25 @@ def _kernel(
             jnp.minimum(gpa, gpb) - 16.0, 0.0, float(bw - _TWX)
         ).astype(jnp.int32)
         co = (xlo[g] + gmin) // _COARSE
+        # occupancy test: does any patch hull in the readable region
+        # intersect (thr_k, thr_{k-1}]? Buckets widened one on each side
+        # against f32 threshold/bucketing drift; the km1 top end uses
+        # 2.0 at k == 0 (the dense oracle has no predecessor there).
+        tk_prev = jnp.where(k > 0, _tab(1, jnp.maximum(k - 1, 0)),
+                            jnp.float32(2.0))
+        b0 = jnp.floor(tk * 64.0).astype(jnp.int32) - 1
+        b1 = jnp.minimum(
+            jnp.floor(tk_prev * 64.0).astype(jnp.int32) + 1, 63
+        )
+        cell2 = (co * n_nc + c) * 2
+        m0 = _bits_below(jnp.clip(b1 + 1, 0, 32)) & ~_bits_below(
+            jnp.clip(b0, 0, 32))
+        m1 = _bits_below(jnp.clip(b1 - 31, 0, 32)) & ~_bits_below(
+            jnp.clip(b0 - 32, 0, 32))
+        occ_hit = ((occ2[cell2] & m0) | (occ2[cell2 + 1] & m1)) != 0
         active = jnp.logical_and(
-            cm3[co * n_nc + c] > tk, nfound[0, 0] < float(_GW * _LC)
+            jnp.logical_and(cm3[co * n_nc + c] > tk, occ_hit),
+            nfound[0, 0] < float(_GW * _LC),
         )
 
         @pl.when(active)
@@ -512,6 +548,60 @@ def _build_cm3(plan: TargetPlan, src_t, nc, reduce=jnp.max):
     ), axis=0)
 
 
+def _or_reduce(x, axis):
+    return jax.lax.reduce(x, np.int32(0), jax.lax.bitwise_or, (axis,))
+
+
+def _build_occ2(plan: TargetPlan, src_t, nc):
+    """64-bucket value-interval occupancy bitmask per (8-px cell, chunk),
+    sliding-OR over the same plan.gspan / cm_ylims region as _build_cm3.
+    Bit b of the 2-word mask is set iff some 2x2 texel patch's
+    [min, max] hull in the region intersects [b/64, (b+1)/64) — the
+    kernel's interval skip test (see the occ2 arg comment)."""
+    dsp = src_t[-1]
+    wp, hp = dsp.shape
+    ncellx = wp // _COARSE
+    pmx = jnp.maximum(
+        jnp.maximum(dsp[:-1, :-1], dsp[1:, :-1]),
+        jnp.maximum(dsp[:-1, 1:], dsp[1:, 1:]),
+    )
+    pmn = jnp.minimum(
+        jnp.minimum(dsp[:-1, :-1], dsp[1:, :-1]),
+        jnp.minimum(dsp[:-1, 1:], dsp[1:, 1:]),
+    )
+    pmx = jnp.pad(pmx, ((0, 1), (0, 1)), mode="edge")
+    pmn = jnp.pad(pmn, ((0, 1), (0, 1)), mode="edge")
+    blo = jnp.clip(jnp.floor(pmn * 64.0), 0, 63).astype(jnp.int32)
+    bhi = jnp.clip(jnp.floor(pmx * 64.0), 0, 63).astype(jnp.int32)
+
+    def below(n):  # elementwise i32 mask of the n low bits, n in [0, 32]
+        return jnp.where(
+            n >= 32, jnp.int32(-1),
+            (jnp.int32(1) << jnp.clip(n, 0, 31)) - jnp.int32(1),
+        )
+
+    w0 = below(jnp.clip(bhi + 1, 0, 32)) & ~below(jnp.clip(blo, 0, 32))
+    w1 = below(jnp.clip(bhi - 31, 0, 32)) & ~below(
+        jnp.clip(blo - 32, 0, 32))
+    words = jnp.stack([w0, w1], axis=-1)  # (Wp, Hp, 2)
+    cellw = _or_reduce(
+        words.reshape(ncellx, _COARSE, hp, 2), 1
+    )  # (ncellx, hp, 2)
+    ys = []
+    for ci in range(nc):
+        lo, hi = plan.cm_ylims[ci]
+        lo = max(0, min(lo, hp))
+        hi = max(lo + 1, min(hi, hp))
+        ys.append(_or_reduce(cellw[:, lo:hi], 1))
+    occ = jnp.stack(ys, axis=1)  # (ncellx, nc, 2)
+    span = plan.gspan
+    xpad = jnp.pad(occ, ((0, span - 1), (0, 0), (0, 0)), mode="edge")
+    out = occ
+    for i in range(1, span):
+        out = out | xpad[i : i + ncellx]
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -536,6 +626,7 @@ def _sweep_target(
     hp = plan.hp_out
     nc = hp // _LC
     cm3 = _build_cm3(plan, src_t, nc)
+    occ2 = _build_occ2(plan, src_t, nc)
 
     # bounded-loop tables (exact; see the kernel comment): replicate
     # pass1's skip-index math over (B, K, ng, nc) with the pose
@@ -604,7 +695,7 @@ def _sweep_target(
     cdim = 8 if depth_only else _LC
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(ng, nc, batch),
         in_specs=[
             pl.BlockSpec(
@@ -648,8 +739,9 @@ def _sweep_target(
         out_shape=jax.ShapeDtypeStruct((batch, oc, w, hp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(xlo, ylo.reshape(-1), cm3.reshape(-1), klo_t.reshape(-1),
-      khi_t.reshape(-1), pose_b[:, None, :], vt_b, src_t)
+    )(xlo, ylo.reshape(-1), cm3.reshape(-1), occ2.reshape(-1),
+      klo_t.reshape(-1), khi_t.reshape(-1), pose_b[:, None, :], vt_b,
+      src_t)
     out = out[:, :, :, : plan.out_h].transpose(0, 1, 3, 2)  # (B, oc, H, W)
     if depth_only:
         return out[:, 1], out[:, 0], None
