@@ -25,9 +25,20 @@ the SFMoMA orbit; the group layout is the production shape).
     |scale - 1| deviation, not the band footprint). The 16 bands'
     collapses land in one (128, ylen) scratch.
   * one transpose per (plane, channel) moves the group slab to the
-    y-on-sublanes layout; the slab is rolled by the plane's GROUP-
-    SHARED y base and candidate source rows SLIDE with the target row
-    (slaby[o + i]). Weights are full (lc, 128) fields.
+    y-on-sublanes layout; candidate source rows SLIDE with the target
+    row (slaby[o + i]). Weights are full (lc, 128) fields. The y range
+    is SLICED per plane (v4): the slab read covers only _YS1 = 384
+    lanes at a 128-aligned dynamic base around the plane's group-shared
+    slide base `bym`, the residual is folded by ONE dynamic lane roll
+    of the x-collapsed slab (pow2-padded to _XAP lanes — lane
+    dynamic_rotate is only sound on power-of-two tile counts, probed
+    in scratch/probe_laneroll.py), and only _YS2 = 256 rows are
+    transposed. The y-stage consumes at most lc + nyc + 2 < 256 rows,
+    so transposing `ylen` (512+ on pose-batch unions) was 2x wasted
+    transpose work — measured 20.3 -> 20.0 ms/frame wall on the
+    config1 orbit (the transpose is no longer dominant after the
+    occupancy skip; kept because it also frees VMEM: the pow2 tsp
+    scratch is gone).
   * crossing state lives in the TRANSPOSED (lc, 128) layout end to
     end; the six output channels transpose back once per tile.
 
@@ -58,17 +69,12 @@ __all__ = ["render_target_batch_pallas"]
 _COARSE = 8  # skip-table cell width in source x
 _TWX = 32  # x-stage slab sublanes (4 tiles: dynamic roll safe)
 _GW = _G * _TW  # output columns per program (= lane width)
+_YS1 = 384  # x-stage lane window per plane (3 lane tiles)
+_YS2 = 256  # transposed slab rows consumed by the y-stage
 
 
 def _round_up(n: int, q: int) -> int:
     return -(-n // q) * q
-
-
-def _pow2_rows(n: int) -> int:
-    r = _LC
-    while r < n:
-        r *= 2
-    return r
 
 
 def _classes(nmax, start=2):
@@ -105,8 +111,8 @@ def _kernel(
     src_hbm,  # (C, Wp, Hp) f32 ANY — r,g,b,mask,disp (C=5) or disp (C=1)
     out_ref,  # (1, oc, GW, lc) VMEM out block (oc=6, or 2 depth_only)
     blk,  # (C, bw, ylen) f32 VMEM scratch: resident source window
-    xa16,  # (GW, ylen) f32 VMEM scratch: group x-collapsed slab
-    tsp,  # (tsp_rows, GW) f32 VMEM scratch: transposed slab (pow2 rows)
+    xa16,  # (GW, xap) f32 VMEM scratch: group x-collapsed slab, lanes
+    #     [0, ys1) live, [ys1, xap) zeroed (pow2 pad for the lane roll)
     pdiff,  # (lc, GW) f32 scratch — ALL state in TRANSPOSED layout
     kstar,  # (lc, GW) f32
     pdiffc,  # (lc, GW) f32
@@ -122,7 +128,8 @@ def _kernel(
     plan: TargetPlan,
     num_planes: int,
     refine: int,
-    tsp_rows: int,
+    ys1: int,
+    xap: int,
     depth_only: bool = False,
 ):
     tw, lc, gwd = _TW, _LC, _GW
@@ -150,12 +157,12 @@ def _kernel(
     def _():
         cp.start()
 
-    if tsp_rows > ylen:
-        # rows beyond ylen are never written by the y-stage; zero them so
+    if xap > ys1:
+        # pad lanes are never written by the x-stage; zero them so
         # 0-weight candidates can't multiply uninitialized NaN patterns
-        tsp[ylen:tsp_rows, :] = jnp.zeros(
-            (tsp_rows - ylen, gwd), jnp.float32
-        )
+        # (they can rotate into the consumed [:_YS2] slice, always at
+        # zero-weight rows — see the roll-coverage argument in _warp)
+        xa16[:, ys1:xap] = jnp.zeros((gwd, xap - ys1), jnp.float32)
     pdiff[:] = jnp.zeros((lc, gwd), jnp.float32)
     kstar[:] = jnp.full((lc, gwd), -1.0, jnp.float32)
     pdiffc[:] = jnp.zeros((lc, gwd), jnp.float32)
@@ -295,25 +302,36 @@ def _kernel(
         span_y = (jnp.ceil(rhi).astype(jnp.int32) - bym + 2).astype(
             jnp.float32
         )
+        # 128-aligned lane base of the plane's y window: all real reads
+        # live in window rows [bym, rhi + 1] subset of [ybase, ybase + ys1)
+        # (unclipped: bym - ybase <= 127 and spans cap at nyc <= 80;
+        # clipped: ybase = ylen - ys1 so the window top is covered)
+        ybase = pl.multiple_of(
+            jnp.clip((bym // 128) * 128, 0, ylen - ys1), 128
+        )
         ic_x = _cls_idx(span_x + 3.0, xcls)
-        return bmins, o8s, rrs, ic_x, bym, _cls_idx(span_y, ycls)
+        return bmins, o8s, rrs, ic_x, bym, _cls_idx(span_y, ycls), ybase
 
     def _warp(chans, v, bases):
         """Separable hat-collapse of window channels [lo, hi) at plane
         invz v. Returns (hi-lo, lc, GW) TRANSPOSED values."""
-        bmins, o8s, rrs, ic_x, bym, ic_y = bases
+        bmins, o8s, rrs, ic_x, bym, ic_y, ybase = bases
         lo_c, hi_c = chans
+        # positions relative to bym, which the lane roll moves to row 0
         yq = jnp.clip(
             relT + v * dyT - bym.astype(jnp.float32), -1.0,
-            float(tsp_rows - lc),
+            float(_YS2 - lc),
         )  # (lc, GW)
+        rr_y = bym - ybase  # lane-roll residual, in [0, ys1 - 2]
         outs = []
         for ch in range(lo_c, hi_c):
 
             def _xbody(n):
                 def body():
                     for gi in range(_G):
-                        slab = blk[ch, pl.ds(o8s[gi], _TWX), :]
+                        slab = blk[
+                            ch, pl.ds(o8s[gi], _TWX), pl.ds(ybase, ys1)
+                        ]
                         slab = pltpu.roll(slab, -rrs[gi], 0)  # 4 tiles
                         qxd = jnp.clip(
                             adg[gi * tw : (gi + 1) * tw]
@@ -321,20 +339,26 @@ def _kernel(
                             - bmins[gi].astype(jnp.float32),
                             -1.0, float(_TWX - tw),
                         )  # (tw, 1)
-                        xa = jnp.zeros((tw, ylen), jnp.float32)
+                        xa = jnp.zeros((tw, ys1), jnp.float32)
                         for o in range(n):
                             w = jnp.maximum(
                                 0.0, 1.0 - jnp.abs(qxd - float(o))
                             )
                             xa = xa + w * slab[o : o + tw, :]
-                        xa16[gi * tw : (gi + 1) * tw, :] = xa
+                        xa16[gi * tw : (gi + 1) * tw, 0:ys1] = xa
                     return 0
 
                 return body
 
             jax.lax.switch(ic_x, [_xbody(n) for n in xcls])
-            tsp[0:ylen, :] = xa16[:].T
-            slaby = pltpu.roll(tsp[:], -bym, 0)  # pow2 rows: safe
+            # one dynamic LANE roll (xap lanes: pow2 tile count, sound)
+            # moves window row bym to lane 0; only the _YS2 rows the
+            # y-stage can consume are transposed. Real (nonzero-weight)
+            # reads are rows [bym, rhi + 1] -> rolled rows [0, span + 1]
+            # with span <= nyc < _YS2 - lc; rows that wrap past the pad
+            # carry zero hat weight and the pad lanes are zeroed, so no
+            # NaN can propagate through a 0-weight tap.
+            slaby = pltpu.roll(xa16[:], -rr_y, 1)[:, :_YS2].T
 
             def _ybody(n, slaby=slaby):
                 def body():
@@ -687,7 +711,8 @@ def _sweep_target(
         widen=1,
         fin_scale=HAT_FIN_SCALE,
     )
-    tsp_rows = _pow2_rows(plan.ylen)
+    ys1 = min(plan.ylen, _YS1)  # plan.ylen is a multiple of 128, >= 256
+    xap = 256 if ys1 <= 256 else 512  # pow2 lane pad for the roll
     # depth_only: 1-channel window (disp), 2-channel output [invz,
     # found]; color scratches shrink to minimal tiles (never read)
     nch = 1 if depth_only else 5
@@ -715,8 +740,7 @@ def _sweep_target(
         ),
         scratch_shapes=[
             pltpu.VMEM((nch, plan.bw, plan.ylen), jnp.float32),
-            pltpu.VMEM((_GW, plan.ylen), jnp.float32),  # xa16
-            pltpu.VMEM((tsp_rows, _GW), jnp.float32),  # tsp
+            pltpu.VMEM((_GW, xap), jnp.float32),  # xa16
             pltpu.VMEM((_LC, _GW), jnp.float32),  # pdiff
             pltpu.VMEM((_LC, _GW), jnp.float32),  # kstar
             pltpu.VMEM((_LC, _GW), jnp.float32),  # pdiffc
@@ -732,7 +756,7 @@ def _sweep_target(
     )
     kernel = functools.partial(
         _kernel, plan=plan, num_planes=num_planes, refine=refine,
-        tsp_rows=tsp_rows, depth_only=depth_only,
+        ys1=ys1, xap=xap, depth_only=depth_only,
     )
     out = pl.pallas_call(
         kernel,

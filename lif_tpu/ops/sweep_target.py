@@ -377,10 +377,11 @@ def plan_target(
     # full-color debug mode must plan with channels=5. A pose batch
     # whose union window exceeds the budget must fall back (two-phase
     # tier) rather than fail at compile.
-    tsp_rows = _LC
-    while tsp_rows < ylen:
-        tsp_rows *= 2
-    vmem_bytes = (channels * bw * ylen + _G * _TW * (ylen + tsp_rows)) * 4
+    # kernel fixed scratch: xa16 is (GW, xap) with xap = pow2 pad of the
+    # per-plane 384-lane y window; the transposed slab is a (256, GW)
+    # value (ops/pallas/sweep_target.py v4 layout)
+    xap = 256 if min(ylen, 384) <= 256 else 512
+    vmem_bytes = (channels * bw * ylen + _G * _TW * (xap + 256)) * 4
     if vmem_bytes > 13 * 1024 * 1024:
         raise ValueError(
             f"pose-union window needs {vmem_bytes / 1e6:.1f} MB VMEM "
