@@ -1918,7 +1918,67 @@ def _stereo_chunk_body(
     crops_r,
 ):
     """One pose-chunk of _stereo_fast_core (the pre-chunking body)."""
+    from ..core.transforms import inv3, mat_from_focal, mm, shader_rotation
+    from ..ops.sampling import read_disp
     from ..ops.stereo import view_weight
+
+    def _stretch_conf(lay, c1_b, rot_b, hit, invz):
+        """Reference stretch-mark confidence for the fast tiers.
+
+        The exact stereo kernel keys its occlusion fill on the march's
+        confidence — zeroed where a crossing step saw a disparity jump
+        above grad_thr (rayCastMonoLDI.glsl:236,265-267; the fill rule
+        rayCastStereoLDI.glsl:372-381). grad_thr/step is the step-count
+        invariant slope 0.02*140 = 2.8, so the tier-independent twin
+        samples the source disparity at the solved crossing and one
+        production step (range/40) in FRONT of it along the exact ray
+        path s1(v) = q + v*(c - c_z q), and kills confidence where the
+        slope exceeds 2.8. Round-3 used the crossing `hit` flag instead,
+        which stays 1 inside disocclusion stretch regions — the
+        measured ~35 dB fill divergence on rotated-head stereo
+        (BENCH_DETAILS r3 config2)."""
+        disp_t = lay["disp"]
+        hs, ws = disp_t.shape
+        izmin, izmax = lay["izmin"], lay["izmax"]
+        f1l = lay["focal"]
+        jx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w - 0.5
+        iy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h - 0.5
+        s2x = jnp.broadcast_to(jx[None, :], (out_h, out_w))
+        s2y = jnp.broadcast_to(iy[:, None], (out_h, out_w))
+
+        def fields(c1, rot1):
+            skr1 = shader_rotation(rot1)
+            fskr1 = mm(mat_from_focal(f1l / ws, f1l / hs), skr1)
+            fskr2 = mat_from_focal(f2 / out_w, f2 / out_h)
+            p_ts = mm(fskr1, inv3(fskr2))
+            den = p_ts[2, 0] * s2x + p_ts[2, 1] * s2y + p_ts[2, 2]
+            qx = (p_ts[0, 0] * s2x + p_ts[0, 1] * s2y + p_ts[0, 2]) / den
+            qy = (p_ts[1, 0] * s2x + p_ts[1, 1] * s2y + p_ts[1, 2]) / den
+            c_vec = jnp.matmul(
+                fskr1, (-c1)[..., None],
+                precision=jax.lax.Precision.HIGHEST,
+            )[..., 0]
+            return qx, qy, c_vec
+
+        qx, qy, c_vec = jax.vmap(fields)(c1_b, rot_b)
+        dsx = c_vec[:, 0, None, None] - c_vec[:, 2, None, None] * qx
+        dsy = c_vec[:, 1, None, None] - c_vec[:, 2, None, None] * qy
+        # frustum-skew fold: constant source-pixel shift (lateral tier)
+        dxp = lay["doff"][0] / ws
+        dyp = lay["doff"][1] / hs
+        dv = (izmin - izmax) / 40.0
+
+        def disp_at(v):
+            return read_disp(
+                disp_t, qx + v * dsx + 0.5 + dxp,
+                qy + v * dsy + 0.5 + dyp, izmin, izmax, ws, hs,
+            )
+
+        kill = (
+            (jnp.abs(disp_at(invz) - disp_at(invz + dv)) > 2.8 * dv)
+            & (hit > 0.5)
+        )
+        return jnp.where(kill, 0.0, 1.0)
 
     layers_l = tuple(
         {**fixed, **pp} for fixed, pp in zip(fixed_l, pp_l)
@@ -1999,19 +2059,23 @@ def _stereo_chunk_body(
 
     for i in range(num_layers):
         ll, lr = layers_l[i], layers_r[i]
-        rgba_l, a_l, hit_l, _ = _eye(ll, c1l_b, rotl_b, plans_l[i],
-                                     nums_l[i], crops_l[i], modes_l[i],
-                                     static_l[i])
-        rgba_r, a_r, hit_r, _ = _eye(lr, c1r_b, rotr_b, plans_r[i],
-                                     nums_r[i], crops_r[i], modes_r[i],
-                                     static_r[i])
+        rgba_l, a_l, hit_l, iz_l = _eye(ll, c1l_b, rotl_b, plans_l[i],
+                                        nums_l[i], crops_l[i], modes_l[i],
+                                        static_l[i])
+        rgba_r, a_r, hit_r, iz_r = _eye(lr, c1r_b, rotr_b, plans_r[i],
+                                        nums_r[i], crops_r[i], modes_r[i],
+                                        static_r[i])
         lA = jnp.concatenate([rgba_l[..., :3], a_l[..., None]], axis=-1)
         rA = jnp.concatenate([rgba_r[..., :3], a_r[..., None]], axis=-1)
         # Occlusion fill, sequential like the GLSL (:372-381): the R test
-        # reads the possibly-already-filled L layer.
-        fill_l = ((hit_l == 0.0) & (hit_r == 1.0)) | (a_l < a_r - 0.1)
+        # reads the possibly-already-filled L layer. The first term keys
+        # on the march CONFIDENCE (stretch-mark kill), not the crossing
+        # flag — see _stretch_conf.
+        conf_l = _stretch_conf(ll, c1l_b, rotl_b, hit_l, iz_l)
+        conf_r = _stretch_conf(lr, c1r_b, rotr_b, hit_r, iz_r)
+        fill_l = ((conf_l == 0.0) & (conf_r == 1.0)) | (a_l < a_r - 0.1)
         l2 = jnp.where(fill_l[..., None], rA, lA)
-        fill_r = ((hit_r == 0.0) & (hit_l == 1.0)) | (
+        fill_r = ((conf_r == 0.0) & (conf_l == 1.0)) | (
             rA[..., 3] < l2[..., 3] - 0.1
         )
         r2 = jnp.where(fill_r[..., None], l2, rA)

@@ -17,13 +17,18 @@ for any FSKR2). So:
     extent (wi, hi) covers the target frustum's corner rays plus a
     guard, so no target ray is unsolved. depth_only: no color pass.
 
-  Phase B (elementwise + exactly 2 gathers): per target pixel, map its
+  Phase B (elementwise + ~12 flat gathers): per target pixel, map its
     ray into the intermediate image (pure rotation homography), fetch
-    invZ* with an edge-aware bilinear (one 4-wide patch-row gather;
-    across depth discontinuities bilinear interpolation would fetch
-    colors from mid-air, so large-spread patches snap to the nearest
-    corner), compute the exact projective source coordinate, and fetch
-    the color (one packed patch-row gather).
+    the 2x2 corner invZ patch (one 4-wide patch-row gather), BRACKET
+    the crossing with the corner min/max, then run the reference march
+    recurrence over only that bracket against the ORIGINAL source
+    disparity (_bracket_march: ~10 bilinear disp reads, fused
+    step-back/halving exactly like rayCastMonoLDI.glsl:253-274) — the
+    march-exact replacement for round 3's edge-aware depth
+    interpolation, whose intermediate-lattice bound capped this tier at
+    ~34-38 dB. Finally compute the exact projective source coordinate
+    at the solved invZ and fetch the color (one packed patch-row
+    gather).
 
 The pure-rotation / pure-zoom special case (|c1| ~ 0) needs no Phase A
 at all: with no parallax the intermediate image IS the source view, so
@@ -39,7 +44,12 @@ import jax.numpy as jnp
 
 from . import composite as _composite
 from ..core.transforms import inv3, mat_from_focal, mm, shader_rotation
-from .sampling import _patch_table, bilinear_sample_packed, pack_rgbm
+from .sampling import (
+    _patch_table,
+    bilinear_sample_packed,
+    pack_rgbm,
+    read_disp,
+)
 from .sweep_scaled import ScaledPlan, render_scaled_batch
 
 __all__ = [
@@ -96,7 +106,7 @@ def plan_rotated(
     izmax: float,
     step_px: float = 1.0,
     guard_px: float = 16.0,
-    wi_cap_factor: float = 3.0,
+    wi_cap_factor: float = 4.0,
     num_planes: int | None = None,
 ):
     """Host-side setup shared by the renderer and the tests: intermediate
@@ -190,14 +200,117 @@ def _fetch_invz_edge_aware(izmaps, u, v, wi, hi, jump):
     nearest = jnp.take_along_axis(
         quad, jnp.argmax(wts, axis=-1)[..., None], axis=-1
     )[..., 0]
-    return jnp.where(spread > jump, nearest, bil)
+    return jnp.where(spread > jump, nearest, bil), quad
+
+
+def _bracket_march(
+    disp,
+    qx,
+    qy,
+    den,
+    c_vec,
+    quad,
+    izmin,
+    izmax,
+    res_w,
+    res_h,
+    num_steps: int,
+    unroll: bool,
+):
+    """Per-target-ray first-crossing march over a LATTICE-SEEDED bracket.
+
+    The 2x2 intermediate-lattice corner depths `quad` (0 = that lattice
+    ray found no surface) bracket each final ray's crossing; the
+    reference march recurrence (rayCastMonoLDI.glsl:253-274 — fixed
+    steps, step-back + halve on crossing) then runs over ONLY that
+    bracket against the ORIGINAL source disparity, evaluated along the
+    exact per-ray affine source path s1(v) = q + v*(c - c_z*q). In
+    smooth regions the bracket is a few plane-steps wide, so num_steps
+    of fused march+halving land within ~bracket/2^(n-1) of the exact
+    crossing of the bilinear disparity field — the same fixed point the
+    converged exact kernel solves; at depth edges it reproduces the
+    reference's front-to-back semantics instead of interpolating depth
+    across the discontinuity (the former ~37 dB intermediate-lattice
+    bound of this module).
+
+    Bracket rules: front = max valid corner + margin (clipped to izmin);
+    back = min valid corner - margin, extended to izmax when ANY corner
+    missed (the surface may genuinely end here — the reference samples
+    the far plane on a miss, hit validity being |s1| < 0.5 && invz2 > 0,
+    rayCastMonoLDI.glsl:275). All-corners-missed pixels keep the
+    degenerate bracket [izmax, izmax]: the march is a no-op and the ray
+    samples at izmax exactly like the reference's no-crossing rays.
+
+    Returns (invz_star, invz2, confidence): confidence carries the
+    reference's disparity-gradient "stretch mark" kill as the
+    step-size-invariant slope rule |d disp / d invz| > 2.8
+    (grad_thr/step = 0.02*range*140/steps / (range/steps),
+    rayCastMonoLDI.glsl:236,265-267) so stereo occlusion fill can key on
+    it exactly as the exact kernel does."""
+    valid = quad > 0.0
+    nvalid = jnp.sum(valid.astype(jnp.int32), axis=-1)
+    big = jnp.float32(1e9)
+    v_front = jnp.max(jnp.where(valid, quad, -big), axis=-1)
+    v_back = jnp.min(jnp.where(valid, quad, big), axis=-1)
+    spread = jnp.where(nvalid > 0, v_front - v_back, 0.0)
+    margin = 0.02 * (izmin - izmax) + 0.25 * spread
+    v_start = jnp.minimum(izmin, v_front + margin)
+    v_end = jnp.maximum(izmax, v_back - margin)
+    v_end = jnp.where(nvalid < 4, izmax, v_end)
+    # all-miss: degenerate bracket at the far plane (reference miss
+    # semantics — sample at izmax, validity decides alpha)
+    v_start = jnp.where(nvalid == 0, izmax, v_start)
+    v_end = jnp.where(nvalid == 0, izmax, v_end)
+
+    dsx = c_vec[:, 0, None, None] - c_vec[:, 2, None, None] * qx
+    dsy = c_vec[:, 1, None, None] - c_vec[:, 2, None, None] * qy
+    c_z = c_vec[:, 2, None, None]
+
+    dinvz0 = (v_start - v_end) / float(num_steps)
+    invz = v_start + dinvz0  # step back once before the loop, like the
+    # reference (:251): the first iteration lands exactly on v_start
+    dinvz = dinvz0
+    old_disp = jnp.zeros_like(invz)
+    invz2 = jnp.zeros_like(invz)
+    confidence = jnp.ones_like(invz)
+
+    def body(carry):
+        invz, dinvz, old_disp, invz2, confidence = carry
+        invz = invz - dinvz
+        disp_v = read_disp(
+            disp, qx + invz * dsx + 0.5, qy + invz * dsy + 0.5,
+            izmin, izmax, res_w, res_h,
+        )
+        grad = disp_v - old_disp
+        old_disp = disp_v
+        invz2 = invz * den / (1.0 - c_z * invz)
+        below = (disp_v > invz) & (invz2 > 0.0)
+        confidence = jnp.where(
+            below & (jnp.abs(grad) > 2.8 * jnp.abs(dinvz)),
+            0.0, confidence,
+        )
+        invz = jnp.where(below, invz + dinvz, invz)
+        dinvz = jnp.where(below, dinvz * 0.5, dinvz)
+        return invz, dinvz, old_disp, invz2, confidence
+
+    carry = (invz, dinvz, old_disp, invz2, confidence)
+    if unroll:
+        for _ in range(num_steps):
+            carry = body(carry)
+    else:
+        carry = jax.lax.fori_loop(
+            0, num_steps, lambda _, c: body(c), carry
+        )
+    invz, dinvz, old_disp, invz2, confidence = carry
+    invz2 = invz * den / (1.0 - c_z * invz)
+    return invz, invz2, confidence
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "plan", "num_planes", "out_w", "out_h", "wi", "hi", "mask_mode",
-        "to_srgb", "refine", "raw", "skip_phase_a",
+        "to_srgb", "refine", "raw", "skip_phase_a", "bracket_steps",
     ),
 )
 def render_rotated_march_batch(
@@ -226,6 +339,7 @@ def render_rotated_march_batch(
     raw: bool = False,
     skip_phase_a: bool = False,
     jump_frac: float = 0.05,
+    bracket_steps: int = 10,
 ):
     """Two-phase rotated/zoom render for a pose batch. Returns
     (B, out_h, out_w, 4) with premultiplied rgb over `background`
@@ -275,20 +389,33 @@ def render_rotated_march_batch(
             fskr1, (-c1)[..., None],
             precision=jax.lax.Precision.HIGHEST,
         )[..., 0]
+        den = p_ts[2, 0] * s2x + p_ts[2, 1] * s2y + p_ts[2, 2]
         fskr_i = mm(mat_from_focal(f1 / wi, f1 / hi), skr1)
         p_ti = mm(fskr_i, inv3(fskr2))
         six, siy = _proj_apply(p_ti, s2x, s2y)
         qx, qy = _proj_apply(p_ts, s2x, s2y)
-        return six, siy, qx, qy, c_vec
+        return six, siy, qx, qy, den, c_vec
 
-    six, siy, qx, qy, c_vec = jax.vmap(pose_maps)(c1_b, rot_b)
+    six, siy, qx, qy, den, c_vec = jax.vmap(pose_maps)(c1_b, rot_b)
 
-    invz_hat = _fetch_invz_edge_aware(
+    _, quad = _fetch_invz_edge_aware(
         izmap, six + 0.5, siy + 0.5, wi, hi,
         jump_frac * (izmin - izmax),
     )
-    found_hat = invz_hat > 0.0
     covered = (jnp.abs(six) < 0.5) & (jnp.abs(siy) < 0.5)
+
+    # lattice-seeded exact march (see _bracket_march): the corner depths
+    # only BRACKET the crossing; the solved invz comes from the
+    # reference recurrence against the original source disparity
+    unroll = jax.default_backend() != "cpu"
+    invz_hat, invz2_m, conf = _bracket_march(
+        disp, qx, qy, den, c_vec, quad, izmin, izmax, w, h,
+        bracket_steps, unroll,
+    )
+    found_hat = (
+        (jnp.sum((quad > 0.0).astype(jnp.int32), axis=-1) > 0)
+        & (invz2_m > 0.0)
+    )
 
     s1x = c_vec[:, 0, None, None] * invz_hat + (
         1.0 - c_vec[:, 2, None, None] * invz_hat
@@ -305,7 +432,7 @@ def render_rotated_march_batch(
         u1, v1, feathering, sampled[..., 3], mask_mode,
     )
     if raw:
-        return sampled, alpha, hit, invz_hat
+        return sampled, alpha, hit, jnp.where(found_hat, invz_hat, 0.0)
     return _composite.finish_over_background(
         sampled[..., :3] * alpha[..., None], alpha, background, to_srgb
     )

@@ -147,15 +147,14 @@ def test_stereo_fast_ldi_masked(rng):
     # exclude pixels where the binary discard flips between the pre-eroded
     # fast mask and the shader's per-sample test
     dis = (exact[..., 3] <= 1e-6) != (fast[..., 3] <= 1e-6)
-    assert dis.mean() < 0.06, f"too many discard flips: {dis.mean():.3f}"
+    assert dis.mean() < 0.01, f"too many discard flips: {dis.mean():.3f}"
     keep = ~dis
     mse = np.mean((exact[..., :3][keep] - fast[..., :3][keep]) ** 2)
     p = 10 * np.log10(1.0 / max(float(mse), 1e-12))
-    # bound: sub-texel mask-edge bleed — the pre-eroded bilinear mask vs
-    # the shader's per-sample 9-tap test agree on the binary discard
-    # (flips excluded above) but near-edge pixels keep ~1-texel alpha
-    # differences that cap PSNR well below the maskless 37 dB case
-    assert p >= 30.0, f"only {p:.1f} dB vs the exact stereo kernel (masked)"
+    # round 4: the confidence-keyed occlusion fill (_stretch_conf — the
+    # exact kernel's stretch-mark rule instead of the crossing flag)
+    # lifted this from 30-class to 42.6 dB and zeroed the discard flips
+    assert p >= 40.0, f"only {p:.1f} dB vs the exact stereo kernel (masked)"
 
 
 def test_stereo_fast_outpainted_layers(rng):
