@@ -347,6 +347,8 @@ def _plan_march_tier(
     cfg,
     explicit_planes,
     dx_user=0.0,
+    sk1=None,
+    sk2=None,
 ):
     """Non-lateral march-tier cascade, shared by the mono and stereo fast
     batch entry points (ONE definition so the tier routing cannot drift):
@@ -362,7 +364,19 @@ def _plan_march_tier(
 
     `out_w` is the (possibly width-padded) band width the scaled tier
     renders; `out_w_true` the true output width the target/rotated tiers
-    plan at (they ignore the pad — the callers drop it for them)."""
+    plan at (they ignore the pad — the callers drop it for them).
+
+    Frustum skew (sk1 source / sk2 camera, tangent units): unrotated
+    poses fold it as the constant pixel shift -f1*(sk1-sk2) into the
+    scaled tier's dx/dy_user (reference: equal-skew cancellation in
+    P = F1 S(sk1-sk2) F2^-1); rotated poses carry S(sk1)/S(sk2) into the
+    two-phase tier's FSKR sandwiches (rayCastMonoLDI.glsl:316-332). The
+    target tier currently plans unskewed only and is skipped when the
+    skews differ."""
+    sk1 = np.zeros(2) if sk1 is None else np.asarray(sk1, np.float64)
+    sk2 = np.zeros(2) if sk2 is None else np.asarray(sk2, np.float64)
+    d = -lay["focal_host"] * (sk1 - sk2)
+    skewed = bool(np.abs(d).sum() > 1e-12)
     fr = lay["focal_host"] / f2_host
     if not rotated:
         plan = _sweep_scaled.scaled_plan(
@@ -373,15 +387,19 @@ def _plan_march_tier(
             float(min(pos_b[:, 2].min(), 0.0)),
             float(max(pos_b[:, 2].max(), 0.0)),
             lay["izmin_host"], lay["izmax_host"],
-            dx_user=dx_user,
+            dx_user=dx_user + float(d[0]), dy_user=float(d[1]),
         )
         grids, k_l = _sweep_scaled.parallax_step_grids_batch(
             lay["focal_host"], pos_b, fr, out_w, out_h,
             lay["izmin_host"], lay["izmax_host"],
             step_px=cfg.rotated_step_px, num_planes=explicit_planes,
         )
-        return "scaled", (plan, k_l, fr), {"grids": jnp.asarray(grids)}
-    if dx_user == 0.0:
+        return (
+            "scaled",
+            (plan, k_l, fr, dx_user + float(d[0]), float(d[1])),
+            {"grids": jnp.asarray(grids)},
+        )
+    if dx_user == 0.0 and not skewed:
         # the target tier plans at the true width only (its 128-lane
         # group layout has no pad fold; plan_target raises for
         # non-128-divisible widths, so padded calls skip it outright).
@@ -442,11 +460,14 @@ def _plan_march_tier(
                 _TARGET_PLAN_CACHE.popitem(last=False)
             if entry is not None:
                 return entry
+    sk1_t = (float(sk1[0]), float(sk1[1]))
+    sk2_t = (float(sk2[0]), float(sk2[1]))
     plan, wi, hi, aligned, grids, k_l, skip = _rotated_march.plan_rotated(
         lay["w"], lay["h"], out_w_true, out_h,
         lay["focal_host"], f2_host, rot_list, pos_list,
         lay["izmin_host"], lay["izmax_host"],
         step_px=cfg.rotated_step_px, num_planes=explicit_planes,
+        sk1=sk1_t, sk2=sk2_t,
     )
     grids_j = (
         jnp.zeros((len(pos_list), 1), jnp.float32)
@@ -454,7 +475,7 @@ def _plan_march_tier(
     )
     return (
         "rotated",
-        (plan, wi, hi, max(k_l, 1), skip),
+        (plan, wi, hi, max(k_l, 1), skip, sk1_t, sk2_t),
         {
             "aligned": jnp.asarray(aligned, jnp.float32),
             "grids": grids_j,
@@ -776,15 +797,11 @@ def render_fast_view(
     # non-lateral poses (rotation, y/z translation, zoom) ride the batch
     # path's march tiers (scaled march / two-phase rotated march) as a
     # batch of one — round 3's production upgrade from the ~35 dB matmul
-    # sweep. Lateral poses continue below (snap march, incl. skew fold).
-    sk1_np = np.asarray(projector.skew, np.float64)
-    sk2_np = np.asarray(camera.skew, np.float64)
+    # sweep. Skewed frustums ride the same tiers (round 4: the scaled
+    # dx/dy fold and the rotated tier's FSKR skew sandwiches). Lateral
+    # poses continue below (snap march, incl. skew fold).
     nonlateral = rotated or abs(pos_np[1]) > 1e-9 or abs(pos_np[2]) > 1e-9
-    if (
-        method != "sweep"
-        and nonlateral
-        and np.abs(sk1_np).sum() + np.abs(sk2_np).sum() < 1e-12
-    ):
+    if method != "sweep" and nonlateral:
         return render_fast_batch(
             projector, [camera], background=background,
             feathering=feathering, to_srgb=to_srgb, num_planes=num_planes,
@@ -1065,8 +1082,14 @@ def render_fast_batch(
         plane_mode=("uniform" if snap else cfg.plane_mode)
         if marching else "hybrid",
     )
-    if not prepared["skew_ok"] or float(np.abs(np.asarray(cam0.skew)).sum()) > 1e-9:
-        raise ValueError("render_fast_batch does not support skewed frustums")
+    # frustum skew (sk1 source / sk2 camera): the lateral march folds
+    # the constant pixel shift -f1*(sk1-sk2) (snap phase + offset, like
+    # render_fast_view), the scaled tier rides dx/dy_user, the rotated
+    # tier carries S(sk1)/S(sk2) in its FSKR sandwiches; only the sweep
+    # fallback cannot skew (guarded below)
+    sk1 = np.asarray(projector.skew, np.float64)
+    sk2 = np.asarray(cam0.skew, np.float64)
+    skewed = bool(np.abs(sk1 - sk2).sum() > 1e-12)
     f2_host = float(cam0.focal_px)
 
     # non-8-divisible widths: march a wpad-wider band with a constant
@@ -1104,7 +1127,7 @@ def render_fast_batch(
             mode, static, dyn = _plan_march_tier(
                 lay, f2_host, out_w_eff, cam0.width, cam0.height,
                 pos_b, rot_list, pos_list, rotated, cfg,
-                explicit_planes, dx_user=dx_pad,
+                explicit_planes, dx_user=dx_pad, sk1=sk1, sk2=sk2,
             )
         except ValueError as e:
             _warn_sweep_fallback(idx, e)
@@ -1187,20 +1210,29 @@ def render_fast_batch(
             "aligned xyz/zoom, or bounded rotation with matched-focal "
             "layers); use method='auto' to fall back automatically"
         )
+    if skewed and any(m == "sweep" for m in modes):
+        raise ValueError(
+            "skewed frustums need every layer on a march tier (matched "
+            "focal and dims) — the sweep fallback cannot apply the "
+            "frustum shift"
+        )
 
-    plans, crops, nums, tables = [], [], [], []
+    plans, crops, nums, tables, doffs = [], [], [], [], []
     for idx, (lay, m) in enumerate(zip(prepared["layers"], modes)):
+        d = -lay["focal_host"] * (sk1 - sk2)
+        doffs.append(jnp.asarray([d[0] + dx_pad, d[1]], jnp.float32))
         if m == "march":
             plans.append(_march_plan(
                 dict(lay, h=cam0.height), max_cx, out_w_eff, cam0.height,
-                phase_abs=dx_pad,
+                phase_abs=lay["focal_host"] * float(sk1[0] - sk2[0])
+                + dx_pad,
             ))
             crops.append((lay["h"] - cam0.height) // 2)
             if snap:
                 tab, k_l = _sweep_march.snap_plane_tables_batch(
                     lay["focal_host"], pos_b[:, 0].tolist(),
                     lay["izmin_host"], lay["izmax_host"],
-                    num_planes=explicit_planes,
+                    num_planes=explicit_planes, phase_px=float(d[0]),
                 )
                 tables.append(jnp.asarray(tab))
                 nums.append(k_l)
@@ -1239,6 +1271,7 @@ def render_fast_batch(
         out_h=cam0.height,
         out_w_true=cam0.width,
         pad_dx=dx_pad,
+        skewed=skewed,
         crops=tuple(crops),
         pose_chunk=cfg.pose_chunk,
         postprocess=postprocess,
@@ -1247,12 +1280,15 @@ def render_fast_batch(
         dict(
             rgb=lay["rgb"], disp=lay["disp"], mask=lay["mask"],
             focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
+            doff=doff,
             **(
                 {"plane_invz": tab} if tab is not None else {}
             ),
             **(s[1] if s is not None else {}),
         )
-        for lay, tab, s in zip(prepared["layers"], tables, setups)
+        for lay, tab, s, doff in zip(
+            prepared["layers"], tables, setups, doffs
+        )
     )
     out = core(
         layer_args,
@@ -1338,6 +1374,7 @@ def _fast_batch_core(
     out_h,
     out_w_true=None,
     pad_dx=0.0,
+    skewed=False,
     crops=None,
     pose_chunk=0,
     postprocess=None,
@@ -1391,7 +1428,7 @@ def _fast_batch_core(
                 feathering=feathering, mask_mode=mask_mode,
                 exact_color=exact_color, to_srgb=to_srgb, out_w=out_w,
                 out_h=out_h, out_w_true=out_w_true, pad_dx=pad_dx,
-                crops=crops,
+                skewed=skewed, crops=crops,
             ),
             (c1_b, rot_b, pp_layers),
             batch, pose_chunk,
@@ -1404,7 +1441,7 @@ def _fast_batch_core(
             n_poses=batch, nums=nums, chunk=chunk, feathering=feathering,
             mask_mode=mask_mode, exact_color=exact_color, to_srgb=to_srgb,
             out_w=out_w, out_h=out_h, out_w_true=out_w_true, pad_dx=pad_dx,
-            crops=crops,
+            skewed=skewed, crops=crops,
         )
     if out_w_true and out_w_true != out_w:
         # band tiers render the 8-divisibility width pad; drop it here so
@@ -1440,6 +1477,7 @@ def _fast_chunk_body(
     out_h,
     out_w_true,
     pad_dx,
+    skewed,
     crops,
 ):
     """One pose-chunk of _fast_batch_core: per-layer tier kernels +
@@ -1456,6 +1494,16 @@ def _fast_chunk_body(
     ):
         if m == "march":
             rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+            offset = (pad_dx, 0.0)
+            if skewed:
+                # frustum-skew fold (see render_fast_view): x rides the
+                # phase-matched warp tables, y is a constant source
+                # lerp applied BEFORE the outpaint crop
+                d = lay["doff"]
+                rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
+                disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
+                mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
+                offset = (d[0], d[1])
             if crop_y:
                 rgb_l = rgb_l[crop_y : crop_y + out_h]
                 disp_l = disp_l[crop_y : crop_y + out_h]
@@ -1466,16 +1514,19 @@ def _fast_chunk_body(
                 lay["plane_invz"], zero_bg,
                 plan=plan, num_planes=k_l, refine=refine,
                 feathering=feathering, mask_mode=mask_mode, to_srgb=False,
-                offset=(pad_dx, 0.0), crop_y=crop_y,
+                offset=offset, crop_y=crop_y,
             )  # (B, H, W, 4)
         elif m == "scaled":
-            splan, sk, fr = setup
+            # dxu already carries the width-pad shift plus the frustum
+            # skew fold (-f1*(sk1-sk2)); see _plan_march_tier
+            splan, sk, fr, dxu, dyu = setup
             layer = _sweep_scaled.render_scaled_fetch_batch(
                 lay["rgb"], lay["disp"], lay["mask"],
                 lay["izmin"], lay["izmax"], c1_b, lay["focal"],
                 jnp.float32(fr), lay["grids"], zero_bg,
                 splan, sk, feathering=feathering, mask_mode=mask_mode,
-                to_srgb=False, refine=rot_refine, dx_user=pad_dx,
+                to_srgb=False, refine=rot_refine, dx_user=dxu,
+                dy_user=dyu,
             )
         elif m == "target":
             tplan, k_t = setup
@@ -1488,7 +1539,7 @@ def _fast_chunk_body(
                 to_srgb=False,
             )
         elif m == "rotated":
-            rplan, wi, hi, rk, skip = setup
+            rplan, wi, hi, rk, skip, sk1_t, sk2_t = setup
             layer = _rotated_march.render_rotated_march_batch(
                 lay["rgb"], lay["disp"], lay["mask"],
                 lay["izmin"], lay["izmax"], lay["focal"],
@@ -1496,6 +1547,7 @@ def _fast_chunk_body(
                 zero_bg, rplan, rk, out_w_true, out_h, wi, hi,
                 feathering=feathering, mask_mode=mask_mode,
                 to_srgb=False, refine=rot_refine, skip_phase_a=skip,
+                sk1=sk1_t, sk2=sk2_t,
             )
             # no out_w != out_w_true pad here: render_fast_batch drops
             # the width pad whenever any layer leaves the band tiers,
@@ -1651,12 +1703,10 @@ def render_stereo_fast_batch(
     # (rayCastStereoLDI.glsl:304-305); taper-only for maskless projectors
     mask_mode = "hard" if num_layers > 1 else "none"
 
-    general = not (lat_l and lat_r)
-    if general and skewed:
-        raise ValueError(
-            "render_stereo_fast supports frustum skew only on lateral "
-            "poses; use render_stereo_view for skewed arbitrary poses"
-        )
+    # frustum skew is supported on EVERY tier: the lateral march folds
+    # the constant shift, the scaled tier rides dx/dy_user, and the
+    # two-phase rotated tier carries S(sk1)/S(sk2) in its FSKR
+    # sandwiches (round-3's lateral-only restriction is gone)
 
     def _eye_setup(prep, pos_b, rot_b, rot_list, pos_list, lateral, sk1):
         """Per-layer tier + setup for one eye (mirrors the mono fast
@@ -1699,29 +1749,20 @@ def render_stereo_fast_batch(
             nums.append(0)
             rotated_eye = not np.allclose(rot_b, np.eye(3), atol=1e-5)
             try:
-                # the skew fold d must ride the tier: dx into the plan's
-                # window budget (and the warp as a constant), dy via the
-                # scaled kernel's dy_user (skew implies lateral poses per
-                # the guard above, so the non-march tier is always
-                # 'scaled' when d != 0)
+                # skew rides the tier inside _plan_march_tier: the
+                # constant-shift fold into the scaled tier's
+                # dx/dy_user, or S(sk1)/S(sk2) in the two-phase tier's
+                # FSKR sandwiches
                 mode, static, dyn = _plan_march_tier(
                     lay, f2_host, cam0.width, cam0.width, cam0.height,
                     pos_b, rot_list, pos_list, rotated_eye, cfg,
-                    explicit_planes, dx_user=float(d[0]),
+                    explicit_planes, sk1=sk1, sk2=sk2,
                 )
             except ValueError as e:
                 raise ValueError(
                     "render_stereo_fast: pose family outside the march "
                     f"tiers ({e}); use render_stereo_view"
                 ) from e
-            if mode == "scaled":
-                static = static + (float(d[0]), float(d[1]))
-            elif skewed:
-                raise ValueError(
-                    "render_stereo_fast: skewed stereo layer routed the "
-                    f"'{mode}' tier, which cannot apply the frustum "
-                    "shift; use render_stereo_view"
-                )
             modes.append(mode)
             setups.append((static, dyn))
         return modes, setups, plans, crops, nums, tables, doffs
@@ -2025,7 +2066,7 @@ def _stereo_chunk_body(
                 to_srgb=False, raw=True,
             )
         if mode == "rotated":
-            rplan, wi, hi, rk, skip = setup
+            rplan, wi, hi, rk, skip, sk1_t, sk2_t = setup
             return _rotated_march.render_rotated_march_batch(
                 lay["rgb"], lay["disp"], lay["mask"],
                 lay["izmin"], lay["izmax"], lay["focal"],
@@ -2033,7 +2074,7 @@ def _stereo_chunk_body(
                 zero_bg, rplan, rk, out_w, out_h, wi, hi,
                 feathering=feathering, mask_mode=mask_mode,
                 to_srgb=False, refine=rot_refine, raw=True,
-                skip_phase_a=skip,
+                skip_phase_a=skip, sk1=sk1_t, sk2=sk2_t,
             )
         rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
         offset = (0.0, 0.0)

@@ -43,7 +43,13 @@ import jax
 import jax.numpy as jnp
 
 from . import composite as _composite
-from ..core.transforms import inv3, mat_from_focal, mm, shader_rotation
+from ..core.transforms import (
+    inv3,
+    mat_from_focal,
+    mat_from_skew,
+    mm,
+    shader_rotation,
+)
 from .sampling import (
     _patch_table,
     bilinear_sample_packed,
@@ -59,21 +65,24 @@ __all__ = [
 
 
 def intermediate_extent(rot_list, f1, f2, out_w, out_h, guard_px=16.0,
-                        bucket=64):
+                        bucket=64, sk1=(0.0, 0.0), sk2=(0.0, 0.0)):
     """Host math: intermediate image half-extents covering every target
     corner ray across the pose batch, at the SOURCE focal f1.
 
     For each rotation R (camera-local projector rotation) the target
-    corner rays d2 = (±out_w/(2 f2), ±out_h/(2 f2), 1) land in the
-    aligned frame at R^T-rotated directions; their image coordinates at
-    focal f1 bound the extent. Returns (wi, hi) bucketed for compile
-    reuse (wi to 128 so the band grid gets wide tiles)."""
+    corner rays d2 = (±out_w/(2 f2) + sk2.x, ±out_h/(2 f2) + sk2.y, 1)
+    (a skewed target frustum shifts every ray direction by sk2,
+    rayCastMonoLDI.glsl:83-88) land in the aligned frame at R^T-rotated
+    directions; their image coordinates at focal f1 bound the extent,
+    plus the intermediate frustum's own sk1 shift. Returns (wi, hi)
+    bucketed for compile reuse (wi to 128 so the band grid gets wide
+    tiles)."""
     import numpy as np
 
     half_w = out_w / (2.0 * float(f2))
     half_h = out_h / (2.0 * float(f2))
     corners = np.array(
-        [[sx * half_w, sy * half_h, 1.0]
+        [[sx * half_w + sk2[0], sy * half_h + sk2[1], 1.0]
          for sx in (-1, 1) for sy in (-1, 1)]
     )
     max_x = max_y = 0.0
@@ -86,8 +95,8 @@ def intermediate_extent(rot_list, f1, f2, out_w, out_h, guard_px=16.0,
         z = np.maximum(d[:, 2], 1e-6)
         max_x = max(max_x, float(np.max(np.abs(d[:, 0] / z))))
         max_y = max(max_y, float(np.max(np.abs(d[:, 1] / z))))
-    wi = 2.0 * max_x * float(f1) + 2.0 * guard_px
-    hi = 2.0 * max_y * float(f1) + 2.0 * guard_px
+    wi = 2.0 * (max_x + abs(sk1[0])) * float(f1) + 2.0 * guard_px
+    hi = 2.0 * (max_y + abs(sk1[1])) * float(f1) + 2.0 * guard_px
     wi = max(128, -int(-wi // 128) * 128)
     hi = max(bucket, -int(-hi // bucket) * bucket)
     return wi, hi
@@ -108,18 +117,28 @@ def plan_rotated(
     guard_px: float = 16.0,
     wi_cap_factor: float = 4.0,
     num_planes: int | None = None,
+    sk1=(0.0, 0.0),
+    sk2=(0.0, 0.0),
 ):
     """Host-side setup shared by the renderer and the tests: intermediate
     extent, aligned-frame poses, the scaled plan, and per-pose plane
     grids. Raises ValueError when the pose family exceeds the kernel
     budgets (renderer falls back to the matmul sweep).
 
+    Frustum skew: the intermediate frame keeps the SOURCE skew sk1, so
+    phase A stays a pure translation with P = I; the only phase-A effect
+    is C = F1 S(sk1) (-c) — folded as the equivalent position adjustment
+    c' = c - sk1 * c_z (mat_from_skew rows [1, 0, -sk.x]). Phase B puts
+    S(sk1)/S(sk2) in their reference slots (FSKR sandwiches,
+    rayCastMonoLDI.glsl:316-332).
+
     Returns (plan, wi, hi, c1_aligned (B,3) f64, grids (B,K) f32, K,
     skip_phase_a)."""
     import numpy as np
 
     wi, hi = intermediate_extent(
-        rot_list, f1, f2, out_w, out_h, guard_px=guard_px
+        rot_list, f1, f2, out_w, out_h, guard_px=guard_px, sk1=sk1,
+        sk2=sk2,
     )
     if wi > wi_cap_factor * max(out_w, src_w) or hi > wi_cap_factor * max(
         out_h, src_h
@@ -134,6 +153,9 @@ def plan_rotated(
             for r, c in zip(rot_list, c1_list)
         ]
     )
+    # source-skew fold for the skewed aligned frame (see docstring)
+    aligned[:, 0] -= sk1[0] * aligned[:, 2]
+    aligned[:, 1] -= sk1[1] * aligned[:, 2]
     skip_phase_a = bool(np.abs(aligned).max() * izmin * f1 < 0.25)
     if skip_phase_a:
         # no parallax: the source itself is the intermediate depth map
@@ -311,6 +333,7 @@ def _bracket_march(
     static_argnames=(
         "plan", "num_planes", "out_w", "out_h", "wi", "hi", "mask_mode",
         "to_srgb", "refine", "raw", "skip_phase_a", "bracket_steps",
+        "sk1", "sk2",
     ),
 )
 def render_rotated_march_batch(
@@ -340,6 +363,8 @@ def render_rotated_march_batch(
     skip_phase_a: bool = False,
     jump_frac: float = 0.05,
     bracket_steps: int = 10,
+    sk1=(0.0, 0.0),
+    sk2=(0.0, 0.0),
 ):
     """Two-phase rotated/zoom render for a pose batch. Returns
     (B, out_h, out_w, 4) with premultiplied rgb over `background`
@@ -382,8 +407,12 @@ def render_rotated_march_batch(
 
     def pose_maps(c1, rot1):
         skr1 = shader_rotation(rot1)
+        if sk1 != (0.0, 0.0):
+            skr1 = mm(mat_from_skew(sk1[0], sk1[1]), skr1)
         fskr1 = mm(mat_from_focal(f1 / w, f1 / h), skr1)
         fskr2 = mat_from_focal(f2 / out_w, f2 / out_h)
+        if sk2 != (0.0, 0.0):
+            fskr2 = mm(fskr2, mat_from_skew(sk2[0], sk2[1]))
         p_ts = mm(fskr1, inv3(fskr2))
         c_vec = jnp.matmul(
             fskr1, (-c1)[..., None],

@@ -72,9 +72,10 @@ def test_camera_skew_only_stereo_display_case(rng):
     assert p > 45.0, f"sk2-only fast path only {p:.1f} dB vs the march"
 
 
-def test_skew_with_rotation_still_raises(rng):
-    """Rotated + skewed has no constant-shift reduction; the fast path
-    must refuse rather than silently mis-render."""
+def test_skew_with_rotation_renders(rng):
+    """Rotated + skewed (round 4): S(sk1)/S(sk2) ride the two-phase
+    tier's FSKR sandwiches (reference folds skew into every pose,
+    rayCastMonoLDI.glsl:316-332) — the former ValueError is gone."""
     h, w = 64, 96
     rgb, disp = _scene(rng, h, w)
     proj = projector_from_arrays(
@@ -86,10 +87,108 @@ def test_skew_with_rotation_still_raises(rng):
          [-np.sin(0.05), 0, np.cos(0.05)]]
     )
     cam = Camera.create(
-        w, h, focal_px=0.78 * w, position=[0.02, 0.0, 0.0], rotation=ry
+        w, h, focal_px=0.78 * w, position=[0.02, 0.0, 0.0], rotation=ry,
+        skew=(0.0, 0.01),
     )
-    with pytest.raises(ValueError):
-        render_fast_view(proj, cam)
+    ref = render_mono_view(proj, cam, mask_mode="none", num_steps=320)
+    fast = render_fast_view(proj, cam)
+    p = _psnr(fast, ref)
+    assert p > 40.0, f"rotated+skewed fast path only {p:.1f} dB"
+
+
+def test_skewed_batch_lateral_march(rng):
+    """Skewed pose BATCH through render_fast_batch (round-3 VERDICT item
+    6: the batch entry point raised outright on any skew): the lateral
+    snap-march tier folds the per-layer constant shift exactly like the
+    single-view path."""
+    from lif_tpu.models.renderer import render_fast_batch
+
+    h, w = 96, 128
+    rgb, disp = _scene(rng, h, w)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.1,
+        baseline=1.0, skew=(0.03, -0.02),
+    )
+    cams = [
+        Camera.create(
+            w, h, focal_px=0.78 * w, position=[0.02 * i - 0.03, 0.0, 0.0],
+            skew=(0.01, 0.005),
+        )
+        for i in range(4)
+    ]
+    out, tiers = render_fast_batch(proj, cams, return_tiers=True)
+    assert list(tiers) == ["march"]
+    for i, cam in enumerate(cams):
+        ref = render_mono_view(proj, cam, mask_mode="none", num_steps=320)
+        p = _psnr(out[i], ref)
+        assert p > 45.0, f"skewed batch pose {i} only {p:.1f} dB"
+
+
+def test_skewed_batch_rotated_tier(rng):
+    """Skewed ROTATED pose batch: routes the two-phase tier with the
+    FSKR skew fold; golden per pose vs the skew-aware exact march."""
+    from lif_tpu.models.renderer import render_fast_batch
+
+    h, w = 96, 128
+    rgb, disp = _scene(rng, h, w)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.1,
+        baseline=1.0, skew=(0.02, 0.01),
+    )
+
+    def ry(t):
+        return np.array(
+            [[np.cos(t), 0, np.sin(t)], [0, 1, 0],
+             [-np.sin(t), 0, np.cos(t)]]
+        )
+
+    cams = [
+        Camera.create(
+            w, h, focal_px=0.78 * w, position=[0.03, 0.0, 0.01],
+            rotation=ry(0.04 * (i - 1)), skew=(-0.005, 0.0),
+        )
+        for i in range(3)
+    ]
+    out, tiers = render_fast_batch(proj, cams, return_tiers=True)
+    assert list(tiers) == ["rotated"]
+    for i, cam in enumerate(cams):
+        ref = render_mono_view(proj, cam, mask_mode="none", num_steps=320)
+        p = _psnr(out[i], ref)
+        assert p > 40.0, f"skewed rotated batch pose {i} only {p:.1f} dB"
+
+
+def test_skewed_stereo_rotated_head(rng):
+    """Skewed stereo at a ROTATED head pose (round-3 VERDICT item 6's
+    stereo half: the general-pose skew ValueError is gone): per-eye
+    source skew + camera skew through the two-phase tier, vs the exact
+    two-view kernel."""
+    from lif_tpu import render_stereo_fast
+    from lif_tpu.models.renderer import render_stereo_view
+
+    h, w = 96, 128
+    rgb, disp = _scene(rng, h, w)
+    rgb2 = np.roll(rgb, 3, axis=1)
+
+    def proj(r, x, sk):
+        return projector_from_arrays(
+            r, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.1,
+            baseline=1.0, position=(x, 0.0, 0.0), skew=sk,
+        )
+
+    left = proj(rgb, -0.03, (0.015, 0.0))
+    right = proj(rgb2, 0.03, (-0.015, 0.0))
+    t = 0.05
+    rot = np.array(
+        [[np.cos(t), 0, np.sin(t)], [0, 1, 0], [-np.sin(t), 0, np.cos(t)]]
+    )
+    cam = Camera.create(
+        w, h, focal_px=0.78 * w, position=[0.01, 0.0, 0.0], rotation=rot,
+        skew=(0.005, 0.0),
+    )
+    exact = render_stereo_view(left, right, cam, num_steps=320)
+    fast = render_stereo_fast(left, right, cam)
+    p = _psnr(fast, exact)
+    assert p > 40.0, f"skewed rotated-head stereo only {p:.1f} dB"
 
 
 def test_skewed_stereo_fast(rng):
