@@ -72,6 +72,24 @@ def _median_rate(fn, n_items, reps=REPS):
     return float(np.median(rates))
 
 
+def _median_seconds(fn, reps=REPS):
+    """Median seconds per fn() call (fn must sync)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def _marginal_fps(t_big, n_big, t_small, n_small):
+    """Device-marginal items/sec between two single-dispatch batch sizes:
+    the slope cancels the relay's fixed ~50 ms per-dispatch overhead
+    that wall fps carries (round-3 VERDICT item 10: one honest
+    device-time column for every config)."""
+    return float((n_big - n_small) / max(t_big - t_small, 1e-9))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -196,7 +214,20 @@ def main():
         _ = float(render_fast_batch(proj, cams, postprocess=_rpp))
 
     orbit_pass()  # compile
-    fps_orbit = _median_rate(orbit_pass, len(cams), reps=3)
+    t_orbit = _median_seconds(orbit_pass, reps=3)
+    fps_orbit = len(cams) / t_orbit
+    # device-marginal fps: slope between two single-dispatch orbit sizes
+    # cancels the relay's fixed per-dispatch overhead
+    cams_orb_small = cams[::3]
+
+    def orbit_small_pass():
+        _ = float(render_fast_batch(proj, cams_orb_small, postprocess=_rpp))
+
+    orbit_small_pass()
+    t_orb_small = _median_seconds(orbit_small_pass, reps=3)
+    fps_orbit_dev = _marginal_fps(
+        t_orbit, len(cams), t_orb_small, len(cams_orb_small)
+    )
     # fidelity at three representative orbit poses (edge, mid, center),
     # taken from the SAME 120-pose batch whose fps and tier are reported
     # — a single-pose re-plan can route a different tier (the plan
@@ -211,6 +242,7 @@ def main():
     results["config1_orbit_120"] = {
         "frames": ORBIT_FRAMES,
         "batched_fps": round(fps_orbit, 1),
+        "device_time_fps_marginal": round(fps_orbit_dev, 1),
         "ms_per_frame": round(1000.0 / fps_orbit, 1),
         "dispatches": 1,
         "psnr_vs_converged_dB": round(float(np.min(qs)), 2),
@@ -245,7 +277,19 @@ def main():
         _ = float(render_stereo_fast_batch(left, right, stereo_cams,
                                            postprocess=_rpp))
 
-    pairs_rate = _median_rate(stereo_pass, n_pairs)
+    t_stereo = _median_seconds(stereo_pass)
+    pairs_rate = n_pairs / t_stereo
+    st_small = stereo_cams[: 2 * max(1, n_pairs // 4)]
+
+    def stereo_small_pass():
+        _ = float(render_stereo_fast_batch(left, right, st_small,
+                                           postprocess=_rpp))
+
+    stereo_small_pass()
+    t_st_small = _median_seconds(stereo_small_pass, reps=3)
+    pairs_dev = _marginal_fps(
+        t_stereo, n_pairs, t_st_small, len(st_small) // 2
+    )
     # pair quality: the fast blend vs the exact two-view kernel at a
     # mid-baseline pose (the stereo shader's own math at 640 steps)
     q_cam = cam_at([0.004, 0.0, 0.0])
@@ -269,6 +313,7 @@ def main():
     q_stereo_rot = _psnr(fast_rot, exact_rot)
     results["config2_stereo_pair"] = {
         "stereo_pairs_per_sec": round(pairs_rate, 1),
+        "device_time_pairs_marginal": round(pairs_dev, 1),
         "ms_per_pair": round(1000.0 / pairs_rate, 1),
         "psnr_vs_exact_stereo_dB": round(float(q_stereo), 2),
         "rotated_head_psnr_vs_exact_stereo_dB": round(
@@ -315,7 +360,16 @@ def main():
     def ldi_pass():
         _ = float(render_fast_batch(proj3, cams3, postprocess=_rpp))
 
-    ldi_rate = _median_rate(ldi_pass, len(cams3))
+    t_ldi = _median_seconds(ldi_pass)
+    ldi_rate = len(cams3) / t_ldi
+    cams3_small = cams3[: max(1, n3 // 4)]
+
+    def ldi_small_pass():
+        _ = float(render_fast_batch(proj3, cams3_small, postprocess=_rpp))
+
+    ldi_small_pass()
+    t_ldi_small = _median_seconds(ldi_small_pass, reps=3)
+    ldi_dev = _marginal_fps(t_ldi, n3, t_ldi_small, len(cams3_small))
     ldi_fast = render_fast_batch(proj3, cams3[:1])[0]
     ldi_conv = render(proj3, cams3[0], mode="raycast",
                       num_steps=CONV_STEPS)
@@ -323,6 +377,7 @@ def main():
     results["config3_ldi_3layer"] = {
         "layers": 3,
         "fast_fps_batch192_one_dispatch": round(ldi_rate, 1),
+        "device_time_fps_marginal": round(ldi_dev, 1),
         "ms_per_frame": round(1000.0 / ldi_rate, 1),
         "psnr_vs_converged_dB": round(float(q_ldi), 2),
         "statistic": "median of 5 passes",
@@ -359,7 +414,16 @@ def main():
     def fused_pass():
         _ = float(render_fused_fast_batch(projs4, cams4, postprocess=_rpp))
 
-    fused_rate = _median_rate(fused_pass, n, reps=3)
+    t_fused = _median_seconds(fused_pass, reps=3)
+    fused_rate = n / t_fused
+
+    def fused_one_pass():
+        _ = float(render_fused_fast_batch(projs4, cams4[:1],
+                                          postprocess=_rpp))
+
+    fused_one_pass()
+    t_fused_one = _median_seconds(fused_one_pass, reps=3)
+    fused_dev = _marginal_fps(t_fused, n, t_fused_one, 1)
     # fusion fidelity at the flagship resolution: the fast fused
     # compositor vs the same merge spec on the CONVERGED (640-step)
     # raycast kernel, computed by the CPU-mesh subprocess below (the
@@ -393,6 +457,7 @@ def main():
         "projectors": 4,
         "resolution": f"{W4}x{H4}",
         "fused_frames_per_sec_single_chip": round(fused_rate, 2),
+        "device_time_fps_marginal": round(fused_dev, 2),
         "psnr_note": "psnr_vs_converged_dB appears under "
                      "sharded_4k_scaling_cpu_mesh (computed there: the "
                      "640-step sharded oracle needs a 4-device mesh)",

@@ -411,7 +411,10 @@ def _kernel(
         m1 = _bits_below(jnp.clip(b1 - 31, 0, 32)) & ~_bits_below(
             jnp.clip(b0 - 32, 0, 32))
         occ_hit = ((occ2[cell2] & m0) | (occ2[cell2 + 1] & m1)) != 0
-        active = jnp.logical_and(cm3[co * n_nc + c] > tk, occ_hit)  # ABL
+        active = jnp.logical_and(
+            jnp.logical_and(cm3[co * n_nc + c] > tk, occ_hit),
+            nfound[0, 0] < float(_GW * _LC),
+        )
 
         @pl.when(active)
         def _():
@@ -423,7 +426,7 @@ def _kernel(
             def _():
                 km1 = jnp.maximum(k - 1, 0)
                 vm = _tab(0, km1)
-                pdiff[:] = pdiff[:] - _tab(1, km1)  # ABL
+                pdiff[:] = _warp((dch, dch + 1), vm, _bases(vm))[0] - _tab(1, km1)
 
             tex = _warp((dch, dch + 1), v, bases)[0]
             diff = tex - tk

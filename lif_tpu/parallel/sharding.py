@@ -237,6 +237,7 @@ def render_fused_projectors(
     camera,
     mesh: Mesh,
     axis_name: str = "view",
+    tile_axis: str | None = None,
     background=(0.0, 0.0, 0.0, 0.0),
     mask_mode: str | None = None,
     to_srgb: bool = True,
@@ -252,12 +253,28 @@ def render_fused_projectors(
     weighted `psum`s (_fuse_across_views). This is the multi-projector fusion the reference
     lacks (it renders only the first projector; HoloRenderer.ts:186-189).
 
+    tile_axis: optional SECOND mesh axis composing view parallelism with
+    tile parallelism — on a (view, tile) 2-D mesh each device raycasts
+    its projector's row-band of the framebuffer, and the fusion
+    collectives reduce over the view axis only (per tile). This is the
+    composed 4-projector-4K shape of BASELINE configs[4]: views AND the
+    output image sharded across chips at once.
+
     mask_mode: None -> per-projector reference default (multiply for LDI,
     none for single-layer), or explicit 'multiply'/'none'.
     """
     n = mesh.shape[axis_name]
     if len(projectors) != n:
         raise ValueError(f"need exactly {n} projectors for a {n}-way mesh")
+    if tile_axis is not None:
+        n_tiles = mesh.shape[tile_axis]
+        if camera.height % n_tiles:
+            raise ValueError(
+                f"height {camera.height} not divisible by {n_tiles} tiles"
+            )
+        tile_h = camera.height // n_tiles
+    else:
+        tile_h = camera.height
 
     p0 = projectors[0]
     num_layers = max(p.num_layers for p in projectors)
@@ -296,7 +313,15 @@ def render_fused_projectors(
         focal, skew, pos, rot = focal[0], skew[0], pos[0], rot[0]
         nlay = nlay[0]
 
-        s2x, s2y = _raycast._pixel_grid(camera.width, camera.height)
+        row_start = (
+            jax.lax.axis_index(tile_axis) * tile_h
+            if tile_axis is not None
+            else 0
+        )
+        s2x, s2y = _raycast._pixel_grid(
+            camera.width, tile_h, full_h=camera.height,
+            row_start=row_start,
+        )
         from ..core.transforms import mat_from_focal, mm
 
         fskr2 = _raycast.build_fskr2(
@@ -307,9 +332,9 @@ def render_fused_projectors(
         )
         skr1 = _raycast.build_skr1(skew, rot)
 
-        acc_rgb = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
-        acc_a = jnp.zeros((camera.height, camera.width), jnp.float32)
-        front = jnp.zeros((camera.height, camera.width), jnp.float32)
+        acc_rgb = jnp.zeros((tile_h, camera.width, 3), jnp.float32)
+        acc_a = jnp.zeros((tile_h, camera.width), jnp.float32)
+        front = jnp.zeros((tile_h, camera.width), jnp.float32)
         for i in range(num_layers):
             w_i = layer_res[i, 0]
             h_i = layer_res[i, 1]
@@ -343,7 +368,7 @@ def render_fused_projectors(
         view_fn,
         mesh=mesh,
         in_specs=tuple(P(axis_name) for _ in range(11)),
-        out_specs=P(axis_name, None, None, None),
+        out_specs=P(axis_name, tile_axis, None, None),
         check_vma=False,
     )
     def padL(a, pad_edge=True):
@@ -378,139 +403,53 @@ def render_fast_trajectory_sharded(
     camera_template,
     mesh: Mesh,
     axis_name: str = "frame",
+    cameras_rotations=None,
     background=(0.0, 0.0, 0.0, 0.0),
     num_planes: int | None = None,
     feathering: float = 0.1,
     mask_mode: str | None = None,
     to_srgb: bool = True,
+    **kwargs,
 ):
     """Data-parallel trajectory rendering on the PRODUCTION fast kernel:
-    frames shard over `axis_name`, each device runs the batched
-    first-crossing march (Pallas on TPU, the XLA oracle elsewhere) on its
-    frame shard against replicated source textures. The multi-chip
-    counterpart of models.renderer.render_fast_batch; the raycast-kernel
-    variant is render_trajectory_sharded.
+    frames shard over `axis_name`, each device runs the batched march
+    tiers (Pallas on TPU, the XLA oracle elsewhere) on its frame shard
+    against replicated source textures. The multi-chip counterpart of
+    models.renderer.render_fast_batch; the raycast-kernel variant is
+    render_trajectory_sharded.
 
-    `cameras_positions` (F, 3) world camera positions; poses must be
-    LATERAL relative to the projector (x-only translation, no rotation,
-    matched focal/dims) — the march's reduction. F must divide by the
-    axis size. Returns (F, H, W, 4) sharded on frames.
+    ANY pose family the fast batch covers shards: lateral translation
+    (snap march), aligned xyz/zoom (scaled), yaw/pitch orbits (target
+    tier — the flagship trajectory workload), general rotations
+    (rotated tier), and skewed frustums. The tier plans are pose-batch
+    unions, so every device compiles the SAME program; only the
+    per-pose arrays (c1/rot, snap tables, target pose tables) shard
+    (round-3 VERDICT item 5 lifted the lateral-only restriction).
+
+    `cameras_positions` (F, 3) world camera positions and optional
+    `cameras_rotations` (F, 3, 3) world camera rotations; F must divide
+    by the axis size. Returns (F, H, W, 4) sharded on frames.
     """
-    from ..models.renderer import (
-        _march_eligible,
-        _march_plan_tables,
-        _prepared_textures,
-    )
-    from ..ops import composite as _composite
-    from ..ops import sweep_march as _sweep_march
+    from ..core.camera import Camera
+    from ..models.renderer import render_fast_batch
 
-    n = mesh.shape[axis_name]
-    f = len(cameras_positions)
-    if f % n:
-        raise ValueError(f"{f} frames not divisible by {n} devices")
     cam = camera_template
-    if mask_mode is None:
-        # reference default: LDI projectors multiply the mask into alpha
-        mask_mode = "multiply" if projector.num_layers > 1 else "none"
-    if (
-        float(np.abs(np.asarray(projector.skew)).sum()) > 1e-9
-        or float(np.abs(np.asarray(cam.skew)).sum()) > 1e-9
-    ):
-        raise ValueError(
-            "render_fast_trajectory_sharded does not support skewed "
-            "frustums; use render_fast_batch per shard"
-        )
-
-    pos = np.zeros((f, 3), np.float64)
-    for i in range(f):
-        p_i, r_i = relative_view_pose(
-            np.asarray(projector.position, np.float64),
-            np.asarray(projector.rotation, np.float64),
-            np.asarray(cameras_positions[i], np.float64),
-            np.asarray(cam.rotation, np.float64),
-        )
-        if not np.allclose(r_i, np.eye(3), atol=1e-5) or (
-            abs(p_i[1]) > 1e-9 or abs(p_i[2]) > 1e-9
-        ):
-            raise ValueError(
-                "render_fast_trajectory_sharded needs lateral poses; use "
-                "render_trajectory_sharded for arbitrary trajectories"
-            )
-        pos[i] = p_i
-
-    # per-LAYER march setup: the shard body composites the full LDI
-    # front-to-back exactly like the single-chip batched core
-    # (round-2 VERDICT item 6 lifted the single-layer restriction)
-    tex = _prepared_textures(projector)
-    plans, tabs, ks, crops, texs, consts = [], [], [], [], [], []
-    for lay in tex["layers"]:
-        if not _march_eligible(lay, float(cam.focal_px), cam.width,
-                               cam.height):
-            raise ValueError(
-                "render_fast_trajectory_sharded needs matched focal and "
-                "even-margin dims per layer and an 8-divisible width"
-            )
-        crop_y = (lay["h"] - cam.height) // 2
-        plan, tables, k = _march_plan_tables(
-            dict(lay, h=cam.height), pos[:, 0].tolist(), cam.width,
-            cam.height, explicit_planes=num_planes,
-        )
-        rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
-        if crop_y:
-            rgb_l = rgb_l[crop_y : crop_y + cam.height]
-            disp_l = disp_l[crop_y : crop_y + cam.height]
-            mask_l = mask_l[crop_y : crop_y + cam.height]
-        plans.append(plan)
-        tabs.append(tables)
-        ks.append(k)
-        crops.append(crop_y)
-        texs.append((rgb_l, disp_l, mask_l))
-        consts.append((lay["izmin_host"], lay["izmax_host"], lay["focal"]))
-    bg = jnp.asarray(background, jnp.float32)
-    zero_bg = jnp.zeros(4, jnp.float32)
-    plans_t = tuple(plans)
-    ks_t = tuple(ks)
-    crops_t = tuple(crops)
-
-    def shard_fn(c1_shard, tab_shards, tex_args):
-        result_rgb = None
-        result_a = None
-        for idx in range(len(plans_t)):
-            rgb_l, disp_l, mask_l = tex_args[idx]
-            izmin_l, izmax_l, focal_l = consts[idx]
-            layer = _sweep_march.render_translation_batch(
-                rgb_l, disp_l, mask_l, izmin_l, izmax_l,
-                c1_shard, focal_l, tab_shards[idx], zero_bg,
-                plan=plans_t[idx], num_planes=ks_t[idx],
-                feathering=feathering, mask_mode=mask_mode,
-                to_srgb=False, crop_y=crops_t[idx],
-            )
-            la = layer[..., 3]
-            if result_rgb is None:
-                result_rgb = layer[..., :3]
-                result_a = la
-            else:
-                result_rgb = (
-                    result_rgb + (1.0 - result_a[..., None]) * layer[..., :3]
-                )
-                result_a = result_a + (1.0 - result_a) * la
-        return _composite.finish_over_background(
-            result_rgb, result_a, bg, to_srgb
-        )
-
-    fn = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(
-            P(axis_name),
-            tuple(P(axis_name) for _ in plans_t),
-            tuple((P(), P(), P()) for _ in plans_t),
-        ),
-        out_specs=P(axis_name, None, None, None),
-        check_vma=False,
+    f = len(cameras_positions)
+    rots = (
+        [np.asarray(cam.rotation, np.float64)] * f
+        if cameras_rotations is None
+        else [np.asarray(r, np.float64) for r in cameras_rotations]
     )
-    return fn(
-        jnp.asarray(pos, jnp.float32),
-        tuple(tabs),
-        tuple(texs),
+    cams = [
+        Camera.create(
+            cam.width, cam.height, focal_px=float(cam.focal_px),
+            position=np.asarray(p, np.float64), rotation=r,
+            skew=np.asarray(cam.skew),
+        )
+        for p, r in zip(cameras_positions, rots)
+    ]
+    return render_fast_batch(
+        projector, cams, background=background, num_planes=num_planes,
+        feathering=feathering, mask_mode=mask_mode, to_srgb=to_srgb,
+        shard_mesh=mesh, shard_axis=axis_name, **kwargs,
     )

@@ -156,3 +156,93 @@ def test_fast_trajectory_sharded_ldi(rng):
     ]
     ref = np.asarray(render_fast_batch(proj, cams))
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_fast_trajectory_sharded_orbit(rng):
+    """Round-3 VERDICT item 5: ORBIT (rotated-pose) trajectories shard
+    across chips on the production fast kernel. The tier plans are
+    pose-batch unions, so each device compiles the same target/rotated
+    tier program; only the per-pose arrays shard. Output must equal the
+    unsharded render_fast_batch frame-for-frame, and the routed tier
+    must actually be a rotation tier (not the lateral march)."""
+    from lif_tpu.core.pose import orbit_pose
+    from lif_tpu.models.renderer import render_fast_batch
+
+    h, w = 64, 128  # target tier needs a 128-divisible width
+    proj = projector_from_arrays(
+        rng.random((h + 16, w, 3)).astype(np.float32),
+        smooth_noise(rng, h + 16, w).astype(np.float32),
+        focal_px=0.78 * w, invz_min=2.0, invz_max=0.2, baseline=1.0,
+    )
+    center = np.array([0.0, 0.0, -1.5])
+    poses = [
+        orbit_pose(center, 1.5, theta=np.deg2rad(t))
+        for t in np.linspace(-6, 6, 8)
+    ]
+    cams = [
+        Camera.create(w, h, focal_px=0.78 * w, position=p, rotation=r)
+        for p, r in poses
+    ]
+    ref, tiers = render_fast_batch(proj, cams, return_tiers=True)
+    assert all(t != "march" for t in tiers), tiers
+    mesh = sharding.make_mesh(("frame",))
+    out = np.asarray(
+        sharding.render_fast_trajectory_sharded(
+            proj, [p for p, _ in poses],
+            Camera.create(w, h, focal_px=0.78 * w), mesh,
+            cameras_rotations=[r for _, r in poses],
+        )
+    )
+    np.testing.assert_allclose(out, np.asarray(ref), atol=2e-4)
+
+
+def test_fast_trajectory_sharded_skewed(rng):
+    """Skewed frustums ride the sharded fast path (the round-4 skew fold
+    works under shard_map: the fold is pose-invariant host math)."""
+    from lif_tpu.models.renderer import render_fast_batch
+
+    h, w = 32, 48
+    proj = projector_from_arrays(
+        rng.random((h, w, 3)).astype(np.float32),
+        smooth_noise(rng, h, w).astype(np.float32),
+        focal_px=0.78 * w, invz_min=2.0, invz_max=0.2, baseline=1.0,
+    )
+    cam = Camera.create(w, h, focal_px=0.78 * w, skew=(0.02, -0.01))
+    positions = np.stack([[0.004 * (i + 1), 0.0, 0.0] for i in range(8)])
+    mesh = sharding.make_mesh(("frame",))
+    out = np.asarray(
+        sharding.render_fast_trajectory_sharded(proj, positions, cam, mesh)
+    )
+    cams = [
+        Camera.create(w, h, focal_px=0.78 * w, position=p,
+                      skew=(0.02, -0.01))
+        for p in positions
+    ]
+    ref = np.asarray(render_fast_batch(proj, cams, mask_mode="none"))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_fused_projectors_view_tile(rng):
+    """Round-3 VERDICT item 9: fusion COMPOSED with tile sharding. On a
+    (view=4, tile=2) 2-D mesh each device raycasts its projector's
+    row-band; the fusion collectives reduce over the view axis per tile.
+    Must equal the 1-D view-mesh fusion bit-for-bit."""
+    h, w = 32, 48
+    projs = [
+        projector_from_arrays(
+            rng.random((h, w, 3)).astype(np.float32),
+            smooth_noise(rng, h, w).astype(np.float32),
+            focal_px=0.78 * w, invz_min=2.0, invz_max=0.2, baseline=1.0,
+            position=(0.03 * i - 0.05, 0.0, 0.0),
+        )
+        for i in range(4)
+    ]
+    cam = Camera.create(w, h, focal_px=0.78 * w, position=(0.02, 0, 0))
+    mesh1 = sharding.make_mesh(("view",), devices=jax.devices()[:4])
+    ref = np.asarray(sharding.render_fused_projectors(projs, cam, mesh1))
+    mesh2 = sharding.make_mesh(("view", "tile"), shape=(4, 2))
+    out = np.asarray(sharding.render_fused_projectors(
+        projs, cam, mesh2, tile_axis="tile"
+    ))
+    assert out.shape == (h, w, 4)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
