@@ -159,6 +159,61 @@ def main():
         print(json.dumps({"error": "all bench protocols failed"}))
         raise SystemExit(3)
 
+    # ---- mixed-family composite (round-3 weak-8 / round-4 item 8):
+    # the headline above measures the EASIEST pose family (lateral).
+    # This second number renders the same total frame count split 1/3
+    # lateral + 1/3 orbit (rotated tier) + 1/3 zoom (scaled tier), each
+    # through its natural tier in its own pose-chunked dispatch, and
+    # reports total frames / total wall time — the honest "a camera
+    # that actually moves" rate. Failures degrade to None rather than
+    # failing the headline metric.
+    composite_fps = None
+    try:
+        from lif_tpu.core.pose import orbit_pose
+
+        third = BATCH // 3
+        lat_cams = [cam(0.135 + 0.02 * i / third) for i in range(third)]
+        orb = [
+            orbit_pose(result.orbit_center, 1.0, theta=np.deg2rad(t))
+            for t in np.linspace(-15, 15, third)
+        ]
+        orb_cams = [
+            Camera.create(W, H, focal_px=focal, position=p, rotation=r)
+            for p, r in orb
+        ]
+        zoom_cams = [
+            Camera.create(W, H, focal_px=focal,
+                          position=[0.0, 0.0, 0.1 + 0.1 * i / third])
+            for i in range(third)
+        ]
+
+        def comp_pass():
+            acc = [
+                render_fast_batch(proj, cs, method="auto",
+                                  postprocess=reduce_img)
+                for cs in (lat_cams, orb_cams, zoom_cams)
+            ]
+            return float(jnp.sum(jnp.stack(acc)))
+
+        comp_pass()  # compile + honest-timing warmup
+        comp_samples = []
+        for _rep in range(3):
+            t0 = time.time()
+            comp_pass()
+            comp_samples.append(3 * third / (time.time() - t0))
+        composite_fps = float(np.median(comp_samples))
+        print(json.dumps({
+            "composite_metric": (
+                f"mixed-pose-family frames/sec/chip @{W}x{H}: "
+                f"{3 * third} frames as 1/3 lateral + 1/3 orbit "
+                "+ 1/3 zoom, each family one pose-chunked dispatch "
+                "through its production tier, median of 3 passes"
+            ),
+            "value": round(composite_fps, 3),
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001 — composite must not kill the
+        print(f"composite bench failed: {e!r}", flush=True)  # headline
+
     # measured fidelity of the EXACT benched mode at the bench pose
     def psnr(a, b):
         mse = np.mean((a[..., :3] - b[..., :3]) ** 2)
@@ -186,7 +241,13 @@ def main():
                     "integer-parallax snap-plane march; measured this run: "
                     f"{q_bench:.1f} dB vs the converged 640-step ray march "
                     f"at the bench pose, where the reference's own 40-step "
-                    f"production march measures {q_ref40:.1f} dB)"
+                    f"production march measures {q_ref40:.1f} dB"
+                    + (
+                        f"; mixed-family composite 1/3 lateral + 1/3 orbit "
+                        f"+ 1/3 zoom: {composite_fps:.1f} fps"
+                        if composite_fps is not None else ""
+                    )
+                    + ")"
                 ),
                 "value": round(fps_med, 3),
                 "unit": "frames/sec/chip",

@@ -425,11 +425,46 @@ def _plan_march_tier(
                 return hit
         else:
             try:
-                tplan, xlo_t, ylo_t = _sweep_target.plan_target(
+                # interactive two-level plan: measure this batch's
+                # extents (vectorized sub-ms numpy), bucket them to a
+                # coarse lattice, and look the PLAN up by the bucketed
+                # extents — a novel camera inside a previously planned
+                # pose neighborhood reuses the compiled kernel and its
+                # device-resident window tables outright (bucketed
+                # extents are a superset of the true ones, so this is
+                # correct by construction). Only the cheap per-pose
+                # parts (pose scalars, plane ladders) are rebuilt.
+                # Reference budget: ~0.12 ms/projector/frame of pose-
+                # update cost (ROTATION-MATRIX-API.md:229-241).
+                ext = _sweep_target.target_extents(
                     lay["w"], lay["h"], out_w_true, out_h,
                     lay["focal_host"], f2_host, rot_list, pos_list,
                     lay["izmin_host"], lay["izmax_host"],
                 )
+                bext = _sweep_target.bucket_extents(ext)
+                nkey = (
+                    lay["w"], lay["h"], out_w_true, out_h,
+                    lay["focal_host"], f2_host,
+                    lay["izmin_host"], lay["izmax_host"],
+                    bext.key(),
+                )
+                nhit = _TARGET_NEIGHBORHOOD_CACHE.get(nkey)
+                if nhit is None:
+                    tplan, xlo_t, ylo_t = _sweep_target.plan_from_extents(
+                        lay["w"], lay["h"], out_w_true, out_h, bext,
+                    )
+                    nhit = (
+                        tplan,
+                        jnp.asarray(xlo_t, jnp.int32),
+                        jnp.asarray(ylo_t, jnp.int32),
+                    )
+                    _TARGET_NEIGHBORHOOD_CACHE[nkey] = nhit
+                    while (len(_TARGET_NEIGHBORHOOD_CACHE)
+                           > _TARGET_NEIGHBORHOOD_CACHE_MAX):
+                        _TARGET_NEIGHBORHOOD_CACHE.popitem(last=False)
+                else:
+                    _TARGET_NEIGHBORHOOD_CACHE.move_to_end(nkey)
+                tplan, xlo_j, ylo_j = nhit
                 grids_t, k_t = _sweep_target.target_plane_grids(
                     rot_list, pos_list, lay["focal_host"], f2_host,
                     out_w_true, out_h, lay["w"], lay["h"],
@@ -449,8 +484,8 @@ def _plan_march_tier(
                     {
                         "pose_sc": jnp.asarray(poses_t, jnp.float32),
                         "grids": jnp.asarray(grids_t, jnp.float32),
-                        "xlo": jnp.asarray(xlo_t, jnp.int32),
-                        "ylo": jnp.asarray(ylo_t, jnp.int32),
+                        "xlo": xlo_j,
+                        "ylo": ylo_j,
                     },
                 )
             except ValueError:
@@ -506,14 +541,42 @@ def _transposed_target_ok(prepared, f2_host, cam0, rot_list, pos_list):
     pos_t = [np.asarray(p, np.float64)[list(_SWAP_XY)] for p in pos_list]
     for lay in prepared["layers"]:
         try:
-            _sweep_target.plan_target(
+            # eligibility memoized on BUCKETED extents (sub-ms for a
+            # novel pose inside a previously-checked neighborhood; the
+            # recursive render then hits the same-keyed plan cache)
+            ext = _sweep_target.target_extents(
                 lay["h"], lay["w"], cam0.height + h_pad, cam0.width,
                 lay["focal_host"], f2_host, rot_t, pos_t,
                 lay["izmin_host"], lay["izmax_host"],
             )
+            bext = _sweep_target.bucket_extents(ext)
+            key = (
+                lay["h"], lay["w"], cam0.height + h_pad, cam0.width,
+                lay["focal_host"], f2_host,
+                lay["izmin_host"], lay["izmax_host"], bext.key(),
+            )
+            ok = _TARGET_OK_CACHE.get(key)
+            if ok is None:
+                try:
+                    _sweep_target.plan_from_extents(
+                        lay["h"], lay["w"], cam0.height + h_pad,
+                        cam0.width, bext,
+                    )
+                    ok = True
+                except ValueError:
+                    ok = False
+                _TARGET_OK_CACHE[key] = ok
+                while len(_TARGET_OK_CACHE) > _TARGET_OK_CACHE_MAX:
+                    _TARGET_OK_CACHE.popitem(last=False)
+            if not ok:
+                return False
         except ValueError:
             return False
     return True
+
+
+_TARGET_OK_CACHE: "_OrderedDict" = _OrderedDict()
+_TARGET_OK_CACHE_MAX = 64
 
 
 _TRANSPOSED_CACHE: "_OrderedDict" = _OrderedDict()
@@ -525,6 +588,13 @@ _TRANSPOSED_CACHE_MAX = 8
 # plan_target's ValueError (the rotated-tier fallback decision).
 _TARGET_PLAN_CACHE: "_OrderedDict" = _OrderedDict()
 _TARGET_PLAN_CACHE_MAX = 8
+
+# L2: target-tier plans keyed on BUCKETED window extents — one plan (and
+# one compiled kernel) serves a whole pose neighborhood; an interactive
+# camera that moves every frame pays only the sub-ms extent measurement
+# plus the per-pose scalar/ladder packs (see _plan_march_tier).
+_TARGET_NEIGHBORHOOD_CACHE: "_OrderedDict" = _OrderedDict()
+_TARGET_NEIGHBORHOOD_CACHE_MAX = 32
 
 # x<->y axis swap: transposing every image corresponds to conjugating
 # all camera-space quantities by this permutation (rays swap the same
@@ -2066,15 +2136,32 @@ def _stereo_chunk_body(
         slope exceeds 2.8. Round-3 used the crossing `hit` flag instead,
         which stays 1 inside disocclusion stretch regions — the
         measured ~35 dB fill divergence on rotated-head stereo
-        (BENCH_DETAILS r3 config2)."""
+        (BENCH_DETAILS r3 config2).
+
+        The probes are per-pixel GATHERS (positions depend on the
+        solved invz map) — ~5 ms per 1M indices on TPU
+        (docs/TPU_NOTES.md), and four full-resolution probes per pair
+        measured +50 ms/pair (the round-4 config2 regression, 133 ->
+        17 pairs/s). Confidence is a binary kill mask over EXTENDED
+        disocclusion regions, so it is evaluated on a 1/4-resolution
+        grid and nearest-upsampled: 16x less gather volume; mask edges
+        quantize to 4 px inside regions the fill rule already treats
+        as a unit (the stereo fill floors in tests/test_stereo_fast.py
+        and tests/test_sweep_target.py hold unchanged)."""
         disp_t = lay["disp"]
         hs, ws = disp_t.shape
         izmin, izmax = lay["izmin"], lay["izmax"]
         f1l = lay["focal"]
-        jx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w - 0.5
-        iy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h - 0.5
-        s2x = jnp.broadcast_to(jx[None, :], (out_h, out_w))
-        s2y = jnp.broadcast_to(iy[:, None], (out_h, out_w))
+        ds = 4 if (out_h % 4 == 0 and out_w % 4 == 0) else (
+            2 if (out_h % 2 == 0 and out_w % 2 == 0) else 1
+        )
+        oh_c, ow_c = out_h // ds, out_w // ds
+        # coarse pixel centers sit at each ds-block's first pixel (the
+        # same pixels the nearest-upsample replicates)
+        jx = (jnp.arange(ow_c, dtype=jnp.float32) * ds + 0.5) / out_w - 0.5
+        iy = (jnp.arange(oh_c, dtype=jnp.float32) * ds + 0.5) / out_h - 0.5
+        s2x = jnp.broadcast_to(jx[None, :], (oh_c, ow_c))
+        s2y = jnp.broadcast_to(iy[:, None], (oh_c, ow_c))
 
         def fields(c1, rot1):
             skr1 = shader_rotation(rot1)
@@ -2104,10 +2191,10 @@ def _stereo_chunk_body(
                 qy + v * dsy + 0.5 + dyp, izmin, izmax, ws, hs,
             )
 
-        kill = (
-            (jnp.abs(disp_at(invz) - disp_at(invz + dv)) > 2.8 * dv)
-            & (hit > 0.5)
-        )
+        invz_c = invz[:, ::ds, ::ds]
+        kill_c = jnp.abs(disp_at(invz_c) - disp_at(invz_c + dv)) > 2.8 * dv
+        kill = jnp.repeat(jnp.repeat(kill_c, ds, axis=1), ds, axis=2)
+        kill = kill & (hit > 0.5)
         return jnp.where(kill, 0.0, 1.0)
 
     layers_l = tuple(
@@ -2441,26 +2528,21 @@ def render_fused_fast_batch(
         raise ValueError("render_fused_fast_batch needs at least one camera")
     cam0 = cameras[0]
     f2_host = float(cam0.focal_px)
-    if any(
-        float(np.abs(np.asarray(cam.skew)).sum()) > 1e-9 for cam in cameras
-    ):
-        raise ValueError(
-            "render_fused_fast does not support skewed cameras; use the "
-            "sharded raycast fusion"
-        )
+    sk2 = np.asarray(cam0.skew, np.float64)
     for cam in cameras[1:]:
         if (
             cam.width != cam0.width
             or cam.height != cam0.height
             or abs(float(cam.focal_px) - f2_host) > 1e-6
+            or not np.allclose(np.asarray(cam.skew), sk2)
         ):
             raise ValueError(
                 "render_fused_fast_batch cameras must share "
-                "width/height/focal"
+                "width/height/focal/skew"
             )
 
     all_args, all_plans, all_nums, all_modes = [], [], [], []
-    c1s = []
+    all_skews, c1s = [], []
     for proj in projectors:
         pos_list = []
         for cam in cameras:
@@ -2484,8 +2566,13 @@ def render_fused_fast_batch(
             proj, base_planes,
             plane_mode="uniform" if snap else cfg.plane_mode,
         )
-        if not prep["skew_ok"]:
-            raise ValueError("render_fused_fast: skewed projector")
+        # frustum skew folds into the march exactly as in the batch path
+        # (_fast_chunk_body): the constant x-shift -f1*(sk1-sk2)[0] rides
+        # the phase-matched warp tables, the y-shift is a constant source
+        # pre-lerp (reference: rayCastMonoLDI.glsl:316-332 — sk1/sk2 feed
+        # the same march for every projector in the blend)
+        sk1 = np.asarray(proj.skew, np.float64)
+        p_skewed = bool(np.abs(sk1 - sk2).sum() > 1e-12)
         m_mode = mask_mode or (
             "multiply" if proj.num_layers > 1 else "none"
         )
@@ -2499,12 +2586,16 @@ def render_fused_fast_batch(
                     "render_fused_fast needs matched focal/dims per layer "
                     "and an 8-divisible width"
                 )
-            plans.append(_march_plan(lay, max_cx, cam0.width, cam0.height))
+            d = -lay["focal_host"] * (sk1 - sk2)
+            plans.append(_march_plan(
+                lay, max_cx, cam0.width, cam0.height,
+                phase_abs=lay["focal_host"] * float(sk1[0] - sk2[0]),
+            ))
             if snap:
                 tab, k_l = _sweep_march.snap_plane_tables_batch(
                     lay["focal_host"], pos_b[:, 0].tolist(),
                     lay["izmin_host"], lay["izmax_host"],
-                    num_planes=num_planes,
+                    num_planes=num_planes, phase_px=float(d[0]),
                 )
                 tab = jnp.asarray(tab)
             else:
@@ -2514,17 +2605,20 @@ def render_fused_fast_batch(
                 rgb=lay["rgb"], disp=lay["disp"], mask=lay["mask"],
                 focal=lay["focal"], izmin=lay["izmin"], izmax=lay["izmax"],
                 plane_invz=tab,
+                doff=jnp.asarray([d[0], d[1]], jnp.float32),
             ))
         all_args.append(tuple(args))
         all_plans.append(tuple(plans))
         all_nums.append(tuple(nums))
         all_modes.append(m_mode)
+        all_skews.append(p_skewed)
         c1s.append(jnp.asarray(pos_b, jnp.float32))
 
     core = _fused_fast_core_jit(
         plans=tuple(all_plans),
         nums=tuple(all_nums),
         modes=tuple(all_modes),
+        skews=tuple(all_skews),
         feathering=float(feathering),
         to_srgb=to_srgb,
         fuse_tol=float(cfg.fuse_tol),
@@ -2552,6 +2646,7 @@ def _fused_fast_core(
     plans,
     nums,
     modes,
+    skews=(),  # per-projector bool: fold -f1*(sk1-sk2) into the march
     feathering,
     to_srgb,
     fuse_tol,
@@ -2596,7 +2691,7 @@ def _fused_fast_core(
             )
             return _fused_fast_core(
                 args_c, c1s_c, background,
-                plans=plans, nums=nums, modes=modes,
+                plans=plans, nums=nums, modes=modes, skews=skews,
                 feathering=feathering, to_srgb=to_srgb,
                 fuse_tol=fuse_tol, pose_chunk=0,
             )
@@ -2608,20 +2703,31 @@ def _fused_fast_core(
         return postprocess(out) if postprocess is not None else out
     zero_bg = jnp.zeros(4, jnp.float32)
     view_rgb, view_a, view_front = [], [], []
-    for layers, plan_l, num_l, m_mode, c1 in zip(
-        proj_args, plans, nums, modes, c1s
+    skews = skews or (False,) * len(proj_args)
+    for layers, plan_l, num_l, m_mode, p_skewed, c1 in zip(
+        proj_args, plans, nums, modes, skews, c1s
     ):
         acc_rgb = None
         acc_a = None
         front = None
         for lay, plan, k_l in zip(layers, plan_l, num_l):
+            rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+            offset = (0.0, 0.0)
+            if p_skewed:
+                # frustum-skew fold (see _fast_chunk_body): x rides the
+                # phase-matched warp tables, y is a constant source lerp
+                d = lay["doff"]
+                rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
+                disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
+                mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
+                offset = (d[0], d[1])
             rgba, alpha, hit, izs = _sweep_march.render_translation_batch(
-                lay["rgb"], lay["disp"], lay["mask"],
+                rgb_l, disp_l, mask_l,
                 lay["izmin"], lay["izmax"], c1, lay["focal"],
                 lay["plane_invz"], zero_bg,
                 plan=plan, num_planes=k_l,
                 feathering=feathering, mask_mode=m_mode, to_srgb=False,
-                raw=True,
+                raw=True, offset=offset,
             )
             inv_abs = izs
             if acc_rgb is None:

@@ -73,6 +73,12 @@ from .bounds import plane_loop_bounds
 __all__ = ["render_translation_pallas", "render_translation_batch_pallas"]
 
 _COARSE = 8  # coarse skip-table cell width, px (one sublane group)
+# extra occupancy sliding-span cells budgeting the inter-plane shift
+# delta of the IVT segment (see _plane_active): grids whose adjacent
+# planes shift by more than _OCC_EXTRA * _COARSE px guard the interval
+# test off (max test only). Snap grids step 1..8 px; the margin covers
+# subsampled strides up to 16 px.
+_OCC_EXTRA = 2
 # planes per grouped-pass1 iteration (variant="grouped"). Measured on the
 # SFMoMA 1280x800 batch bench (marginal device ms/frame, B=100): G=2 2.75,
 # G=4 2.87, G=8 3.22, ungrouped two-pass 3.12 — small groups amortize the
@@ -105,6 +111,18 @@ def _kernel(
     #      table), FLATTENED — SMEM pads the last dim of a multi-dim
     #      prefetch operand to 128 (and 1-D only to 512 elements), so a
     #      (ncells, 7) table would occupy ~18x its size; same below
+    occ2,  # (Wp/8 * Hc * 2,) i32: 64-bucket VALUE-INTERVAL occupancy
+    #      bitmask (2 words/cell) over the same sliding region — bit b
+    #      is set iff some x-adjacent texel pair's [min, max] hull
+    #      intersects bucket [b/64, (b+1)/64). A first crossing at
+    #      plane k forces a continuous lerped-value path through
+    #      [thr_k, thr_{k-1}] (intermediate-value theorem on the march
+    #      segment; the lateral warp lerps x-neighbours at the SAME
+    #      row, so its values live in x-pair hulls). A plane whose
+    #      threshold interval hits no occupied bucket cannot host a
+    #      crossing — unlike the max test, this prunes planes BETWEEN
+    #      surfaces (ported from ops/pallas/sweep_target.py, where it
+    #      measured 284 -> 173 active planes on the config1 orbit).
     klo_t,  # (B * nb * Hc,) i32: first plane whose skip test can pass
     khi_t,  # (B * nb * Hc,) i32: exclusive end — window MIN in front there
     src_hbm,  # (5, Wp, Hp) f32 ANY: r, g, b, mask, disp — TRANSPOSED
@@ -186,15 +204,53 @@ def _kernel(
     def _warp(chans, k_idx):
         return _warp_of(chans, ixs[p, k_idx], fxs[p, k_idx])
 
+    def _bits_below(n):
+        # i32 mask of the n low bits, n in [0, 32] (scalar)
+        return jnp.where(
+            n >= 32, jnp.int32(-1),
+            (jnp.int32(1) << jnp.clip(n, 0, 31)) - jnp.int32(1),
+        )
+
+    def _plane_active(k):
+        """Scalar skip test for plane k: sliding max above threshold AND
+        some x-pair value hull intersecting (thr_k, thr_{k-1}] — the
+        interval a first crossing must pass through (intermediate-value
+        theorem on the continuous march segment from plane k-1 to k).
+        The segment's sample positions span BOTH planes' shifts, so the
+        occupancy base cell is the minimum of the two (the sliding span
+        budgets _OCC_EXTRA cells for the inter-plane delta; grids with
+        wider spacing skip the interval test via the d-guard and keep
+        the max test only). Buckets widened one on each side against
+        f32 threshold/lerp drift; k == 0 uses 2.0 as the predecessor
+        threshold (no predecessor in the oracle)."""
+        km1 = jnp.maximum(k - 1, 0)
+        co_k = ixs[p, k]
+        co_p = jnp.where(k > 0, ixs[p, km1], co_k)
+        d_px = jnp.abs(co_k - co_p)
+        co = b * (tw // _COARSE) + jnp.minimum(co_k, co_p) // _COARSE
+        co_max = b * (tw // _COARSE) + ixs[p, k] // _COARSE
+        tk = tkt[p, k]
+        tk_prev = jnp.where(k > 0, tkt[p, km1], jnp.float32(2.0))
+        b0 = jnp.floor(tk * 64.0).astype(jnp.int32) - 1
+        b1 = jnp.minimum(
+            jnp.floor(tk_prev * 64.0).astype(jnp.int32) + 1, 63
+        )
+        cell2 = (co * n_hc + c) * 2
+        m0 = _bits_below(jnp.clip(b1 + 1, 0, 32)) & ~_bits_below(
+            jnp.clip(b0, 0, 32))
+        m1 = _bits_below(jnp.clip(b1 - 31, 0, 32)) & ~_bits_below(
+            jnp.clip(b0 - 32, 0, 32))
+        occ_hit = ((occ2[cell2] & m0) | (occ2[cell2 + 1] & m1)) != 0
+        occ_hit = jnp.logical_or(occ_hit, d_px > _OCC_EXTRA * _COARSE)
+        return jnp.logical_and(cm3[co_max * n_hc + c] > tk, occ_hit)
+
     def pass1(k, _):
         crossflag[k] = 0.0
-        # skip test: the precomputed sliding max over every source texel
-        # this plane's slice can touch, vs the plane's texel threshold.
-        # One scalar load + compare; conservative, so never misses a
-        # crossing. The tail test stops once every pixel has crossed.
-        co = b * (tw // _COARSE) + ixs[p, k] // _COARSE
+        # skip test (one scalar load + compare + occupancy bit test);
+        # conservative, so never misses a crossing. The tail test stops
+        # once every pixel has crossed.
         active = jnp.logical_and(
-            cm3[co * n_hc + c] > tkt[p, k], nfound[0, 0] < float(tw * lc)
+            _plane_active(k), nfound[0, 0] < float(tw * lc)
         )
 
         @pl.when(active)
@@ -238,16 +294,7 @@ def _kernel(
         any_active = jnp.logical_and(
             act,
             functools.reduce(
-                jnp.logical_or,
-                [
-                    cm3[
-                        (b * (tw // _COARSE) + ixs[p, kk] // _COARSE)
-                        * n_hc
-                        + c
-                    ]
-                    > tkt[p, kk]
-                    for kk in ks
-                ],
+                jnp.logical_or, [_plane_active(kk) for kk in ks],
             ),
         )
 
@@ -429,6 +476,47 @@ def _sweep_lateral(
         [padded[i : i + ncells] for i in range(span)], axis=0
     ).max(axis=0)  # (ncells, Hc)
 
+    # 64-bucket value-interval occupancy over the same sliding region
+    # (see the kernel's occ2 comment): hulls of X-ADJACENT texel pairs
+    # (the lateral warp lerps x-neighbours at the same row — a 2x2 hull
+    # would be needlessly loose), bucket masks OR-reduced per 8-px cell
+    # and 128-lane chunk, then the sliding OR across the span.
+    dsp = src_t[4]  # (Wp, Hp)
+    pmx = jnp.maximum(dsp, jnp.pad(dsp[1:], ((0, 1), (0, 0)), mode="edge"))
+    pmn = jnp.minimum(dsp, jnp.pad(dsp[1:], ((0, 1), (0, 0)), mode="edge"))
+    blo = jnp.clip(jnp.floor(pmn * 64.0), 0, 63).astype(jnp.int32)
+    bhi = jnp.clip(jnp.floor(pmx * 64.0), 0, 63).astype(jnp.int32)
+
+    def _below(n):  # elementwise i32 mask of the n low bits, n in [0, 32]
+        return jnp.where(
+            n >= 32, jnp.int32(-1),
+            (jnp.int32(1) << jnp.clip(n, 0, 31)) - jnp.int32(1),
+        )
+
+    w0 = _below(jnp.clip(bhi + 1, 0, 32)) & ~_below(jnp.clip(blo, 0, 32))
+    w1 = _below(jnp.clip(bhi - 31, 0, 32)) & ~_below(
+        jnp.clip(blo - 32, 0, 32))
+
+    def _orr(x, axis):
+        return jax.lax.reduce(
+            x, jnp.int32(0), jax.lax.bitwise_or, (axis,)
+        )
+
+    occ_cell = jnp.stack(
+        [
+            _orr(_orr(w.reshape(ncells, _COARSE, hp // lc, lc), 1), 2)
+            for w in (w0, w1)
+        ],
+        axis=-1,
+    )  # (ncells, Hc, 2)
+    span_occ = span + _OCC_EXTRA  # inter-plane IVT-segment margin
+    opad = jnp.pad(
+        occ_cell, ((0, span_occ - 1), (0, 0), (0, 0)), mode="edge"
+    )
+    occ2 = occ_cell
+    for i in range(1, span_occ):
+        occ2 = occ2 | opad[i : i + ncells]
+
     # bounded-loop tables (exact; see the kernel comment): k_lo = first
     # plane whose sliding-MAX skip test passes at its own cell; k_hi =
     # one past the first plane whose sliding-window MIN is strictly in
@@ -473,7 +561,7 @@ def _sweep_lateral(
         nb=w // tw, n_hc=hp // lc,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(w // tw, hp // lc, batch),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -498,6 +586,7 @@ def _sweep_lateral(
         izt,
         tkt,
         cm3.reshape(-1),
+        occ2.reshape(-1),
         klo_t.reshape(-1),
         khi_t.reshape(-1),
         src_t,

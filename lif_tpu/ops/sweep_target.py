@@ -54,7 +54,11 @@ from . import composite as _composite
 
 __all__ = [
     "TargetPlan",
+    "TargetExtents",
     "plan_target",
+    "target_extents",
+    "bucket_extents",
+    "plan_from_extents",
     "target_pose_scalars",
     "target_plane_grids",
     "render_target_batch",
@@ -180,19 +184,29 @@ def target_plane_grids(rot_list, c1_list, f1, f2, out_w, out_h,
     orbit poses have |DY| ~ 0 so their ladders are unchanged). Padding
     planes continue ABOVE izmin (texel thresholds > 1: never crossed,
     pruned by the skip test). Returns ((B, K) f32 descending, K)."""
-    ks, dm = [], []
-    for rot1, c1 in zip(rot_list, c1_list):
-        p_ts, c_vec = _pose_fields_np(rot1, c1, f1, f2, out_w, out_h,
-                                      src_w, src_h)
-        sx = np.array([-0.5, 0.5, -0.5, 0.5])
-        sy = np.array([-0.5, -0.5, 0.5, 0.5])
-        qx, qy = _proj_np(p_ts, sx, sy)
-        dx = np.abs(c_vec[0] - c_vec[2] * qx) * src_w
-        dy = np.abs(c_vec[1] - c_vec[2] * qy) * src_h
-        dmax = float((dx + dy).max())
-        dm.append(dmax)
-        k = int(math.ceil(dmax * (izmin - izmax) / step_px)) + 2
-        ks.append(min(max_planes, max(2, k)))
+    # vectorized over the pose batch (the per-pose numpy loop measured
+    # ~1 ms/pose — interactive novel-pose planning pays this every frame)
+    p_ts, c_vec = _pose_fields_batch_np(
+        np.stack([np.asarray(r, np.float64) for r in rot_list]),
+        np.stack([np.asarray(c, np.float64) for c in c1_list]),
+        f1, f2, out_w, out_h, src_w, src_h,
+    )
+    sx = np.array([-0.5, 0.5, -0.5, 0.5])
+    sy = np.array([-0.5, -0.5, 0.5, 0.5])
+    den = (p_ts[:, 2, 0, None] * sx + p_ts[:, 2, 1, None] * sy
+           + p_ts[:, 2, 2, None])
+    qx = (p_ts[:, 0, 0, None] * sx + p_ts[:, 0, 1, None] * sy
+          + p_ts[:, 0, 2, None]) / den
+    qy = (p_ts[:, 1, 0, None] * sx + p_ts[:, 1, 1, None] * sy
+          + p_ts[:, 1, 2, None]) / den
+    dx = np.abs(c_vec[:, 0, None] - c_vec[:, 2, None] * qx) * src_w
+    dy = np.abs(c_vec[:, 1, None] - c_vec[:, 2, None] * qy) * src_h
+    dm = (dx + dy).max(axis=1)  # (B,)
+    ks = [
+        min(max_planes,
+            max(2, int(math.ceil(d * (izmin - izmax) / step_px)) + 2))
+        for d in dm
+    ]
     k_shared = num_planes or max(bucket, _round_up(max(ks), bucket))
     grids = []
     for k_pose, dmax in zip(ks, dm):
@@ -207,7 +221,58 @@ def target_plane_grids(rot_list, c1_list, f1, f2, out_w, out_h,
     return np.stack(grids).astype(np.float32), k_shared
 
 
-def plan_target(
+class TargetExtents(NamedTuple):
+    """Pose-batch-unioned window extents of the target-ray march, in
+    UNPADDED source pixel coordinates (int64 host arrays). A plan built
+    from any SUPERSET of these extents renders every pose in the batch
+    correctly, so extents can be widened (bucket_extents) to make one
+    compiled plan serve a pose NEIGHBORHOOD — the interactive-pose
+    answer to the reference's per-frame ~0.12 ms pose-update budget
+    (ROTATION-MATRIX-API.md:229-241): computing extents for a novel
+    pose is vectorized sub-ms numpy, and a bucketed-extent cache hit
+    reuses the compiled kernel plus its window tables outright."""
+
+    xlo: np.ndarray  # (ng,) group window x starts (already -2 slack)
+    xhi: np.ndarray  # (ng,) exclusive-ish ends (+2 slack)
+    ylo: np.ndarray  # (ng, nc)
+    yhi: np.ndarray  # (ng, nc)
+    nx_need: int
+    ny_need: int
+    gspan_px: int
+
+    def key(self):
+        """Hashable identity for plan caching."""
+        return (
+            self.xlo.tobytes(), self.xhi.tobytes(),
+            self.ylo.tobytes(), self.yhi.tobytes(),
+            self.nx_need, self.ny_need, self.gspan_px,
+        )
+
+
+def bucket_extents(ext: TargetExtents, qxy: int = 64,
+                   qn: int = 2) -> TargetExtents:
+    """Widen extents outward to a coarse lattice: window starts floor to
+    qxy, ends ceil to qxy, candidate counts / skip span ceil to qn. Any
+    pose whose true extents bucket to the same lattice cell shares the
+    plan AND the compiled kernel — correctness by construction, since
+    the bucketed extents are a superset of the true ones."""
+
+    def _dn(a):
+        return (np.asarray(a, np.int64) // qxy) * qxy
+
+    def _up(a):
+        return -(-np.asarray(a, np.int64) // qxy) * qxy
+
+    return TargetExtents(
+        xlo=_dn(ext.xlo), xhi=_up(ext.xhi),
+        ylo=_dn(ext.ylo), yhi=_up(ext.yhi),
+        nx_need=-(-ext.nx_need // qn) * qn,
+        ny_need=-(-ext.ny_need // qn) * qn,
+        gspan_px=-(-ext.gspan_px // qn) * qn,
+    )
+
+
+def target_extents(
     src_w: int,
     src_h: int,
     out_w: int,
@@ -219,22 +284,10 @@ def plan_target(
     izmin: float,
     izmax: float,
     yaw_tol_px: float = 0.35,
-    nxc_cap: int = 14,
-    nyc_cap: int = 80,
-    bw_cap: int = 2048,
-    channels: int = 1,
-):
-    """Host plan: window extents and candidate caps for the pose batch.
-
-    Raises ValueError when the pose family leaves the kernel's budgets
-    (row-dependent x positions beyond `yaw_tol_px`, candidate spans
-    beyond the caps, window wider than `bw_cap`) — the renderer falls
-    back to the two-phase rotated path.
-
-    Returns (plan, xlo (ng,) i32, ylo (ng, nc) i32) where xlo/ylo are
-    PADDED-source window origins per group / per (group, chunk), shared
-    across the pose batch (the window is DMA'd once per (group, chunk)
-    and reused pose-innermost)."""
+) -> TargetExtents:
+    """Measure the pose batch's window extents (vectorized host numpy,
+    sub-ms per pose). Raises ValueError for non-yaw-family rotations
+    (row-dependent x positions beyond `yaw_tol_px`)."""
     gw = _G * _TW
     if out_w % gw:
         raise ValueError(f"out_w {out_w} must be divisible by {gw}")
@@ -344,16 +397,43 @@ def plan_target(
             span_v = (a_hi + v * d_hi) - (a_lo + v * d_lo)
             ny_need = max(ny_need, int(np.ceil(span_v.max())) + 3)
 
+    return TargetExtents(
+        xlo=xlo_all.min(axis=0), xhi=xhi_all.max(axis=0),
+        ylo=ylo_all.min(axis=0), yhi=yhi_all.max(axis=0),
+        nx_need=nx_need, ny_need=ny_need, gspan_px=gspan_px,
+    )
+
+
+def plan_from_extents(
+    src_w: int,
+    src_h: int,
+    out_w: int,
+    out_h: int,
+    ext: TargetExtents,
+    nxc_cap: int = 14,
+    nyc_cap: int = 80,
+    bw_cap: int = 2048,
+    channels: int = 1,
+):
+    """Build the static plan + window tables from (possibly widened)
+    extents. Raises ValueError when the extents leave the kernel's
+    budgets (candidate spans beyond the caps, window wider than
+    `bw_cap`, VMEM blowout) — the renderer falls back to the two-phase
+    rotated path.
+
+    Returns (plan, xlo (ng,) i32, ylo (ng, nc) i32) where xlo/ylo are
+    PADDED-source window origins per group / per (group, chunk), shared
+    across every pose the extents cover (the window is DMA'd once per
+    (group, chunk) and reused pose-innermost)."""
+    hp_out = _round_up(out_h, _LC)
+    nc = hp_out // _LC
+    nx_need, ny_need, gspan_px = ext.nx_need, ext.ny_need, ext.gspan_px
+    xlo_sh, xhi_sh = ext.xlo, ext.xhi  # (ng,)
+    ylo_sh, yhi_sh = ext.ylo, ext.yhi  # (ng, nc)
     if nx_need > nxc_cap:
         raise ValueError(f"x candidate span {nx_need} > cap {nxc_cap}")
     if ny_need > nyc_cap:
         raise ValueError(f"y candidate span {ny_need} > cap {nyc_cap}")
-
-    # share windows across the pose batch
-    xlo_sh = xlo_all.min(axis=0)  # (ng,)
-    xhi_sh = xhi_all.max(axis=0)
-    ylo_sh = ylo_all.min(axis=0)  # (ng, nc)
-    yhi_sh = yhi_all.max(axis=0)
 
     # bw covers the extent plus the slab reach (o8 never clips: the
     # 8-aligned slab base + _TWX sublanes always fit)
@@ -388,16 +468,19 @@ def plan_target(
             "(> 13 MiB budget); split the pose batch or fall back"
         )
 
-    # padded-source origins (before alignment)
+    # padded-source origins (before alignment). Pads bucket to 64/128 —
+    # they are jit STATICS (the padded-source shape), so a drifting
+    # interactive camera must not recompile every few pixels of window
+    # motion; a bucket step costs only edge-padding memory.
     pad_x = max(0, int(-xlo_sh.min()), int((xlo_sh + bw).max()) - src_w)
-    pad_x = _round_up(pad_x, 8)
+    pad_x = _round_up(pad_x, 64)
     xlo_pad = ((xlo_sh + pad_x) // 8) * 8
     # pad_y must be FINAL before computing padded origins (the kernel's
     # yoff uses plan.pad_y); flooring origins to 128 costs <= 127 rows,
     # already budgeted in ylen. pad_y >= ylo_sh.max() + ylen - src_h
     # guarantees window bottoms stay inside the padded image.
     pad_y = _round_up(
-        max(0, int(-ylo_sh.min()), int(ylo_sh.max()) + ylen - src_h), 8
+        max(0, int(-ylo_sh.min()), int(ylo_sh.max()) + ylen - src_h), 128
     )
     ylo_pad = ((ylo_sh + pad_y) // 128) * 128
     # hp_src in the kernel wrapper is h + 2*pad_y rounded to _LC; ensure
@@ -406,8 +489,15 @@ def plan_target(
     assert int((ylo_pad + ylen).max()) <= hp_src, (ylo_pad.max(), ylen,
                                                   hp_src)
 
+    # cm_ylims is a jit static too: bucket outward to 256-row steps
+    # (clamped to the padded source) so window drift rarely re-traces
+    hp_src_b = _round_up(src_h + 2 * pad_y, _LC)
     cm_ylims = tuple(
-        (int(ylo_pad[:, c].min()), int(ylo_pad[:, c].max()) + ylen)
+        (
+            max(0, (int(ylo_pad[:, c].min()) // 256) * 256),
+            min(hp_src_b,
+                _round_up(int(ylo_pad[:, c].max()) + ylen, 256)),
+        )
         for c in range(nc)
     )
     plan = TargetPlan(
@@ -422,6 +512,38 @@ def plan_target(
         plan,
         xlo_pad.astype(np.int32),
         ylo_pad.astype(np.int32),
+    )
+
+
+def plan_target(
+    src_w: int,
+    src_h: int,
+    out_w: int,
+    out_h: int,
+    f1: float,
+    f2: float,
+    rot_list,
+    c1_list,
+    izmin: float,
+    izmax: float,
+    yaw_tol_px: float = 0.35,
+    nxc_cap: int = 14,
+    nyc_cap: int = 80,
+    bw_cap: int = 2048,
+    channels: int = 1,
+):
+    """Exact-extent plan for a pose batch: target_extents +
+    plan_from_extents (see those for the contract). The renderer's
+    interactive path instead buckets the extents (bucket_extents) so a
+    plan serves a pose neighborhood."""
+    ext = target_extents(
+        src_w, src_h, out_w, out_h, f1, f2, rot_list, c1_list,
+        izmin, izmax, yaw_tol_px=yaw_tol_px,
+    )
+    return plan_from_extents(
+        src_w, src_h, out_w, out_h, ext,
+        nxc_cap=nxc_cap, nyc_cap=nyc_cap, bw_cap=bw_cap,
+        channels=channels,
     )
 
 

@@ -155,6 +155,71 @@ def test_fused_fast_batch_postprocess(rng):
     np.testing.assert_allclose(fused_c, fused, rtol=1e-5)
 
 
+def _smooth_scene(h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    disp = (0.5 + 0.2 * np.sin(2 * np.pi * xx / w)
+            * np.cos(2 * np.pi * yy / h)).astype(np.float32)
+    rgb = np.stack([
+        0.5 + 0.4 * np.sin(2 * np.pi * (xx + 7 * c) / (w / 3))
+        * np.cos(2 * np.pi * (yy - 5 * c) / (h / 2))
+        for c in range(3)
+    ], axis=-1).astype(np.float32)
+    return rgb, disp
+
+
+def test_fused_fast_skewed_projectors(rng):
+    """Skewed projectors AND a skewed camera through the single-chip
+    fused fast path (round-4 VERDICT item 6: the former ValueError is
+    gone): the -f1*(sk1-sk2) fold rides each projector's march exactly
+    as in the batch path, and the result matches the skew-aware exact
+    raycast fusion (render_fused_projectors, the fused oracle).
+    Reference: rayCastMonoLDI.glsl:316-332 folds sk1/sk2 into every
+    pose."""
+    h, w = 64, 96
+    rgb, disp = _smooth_scene(h, w)
+    projs = [
+        projector_from_arrays(
+            rgb, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.2,
+            baseline=1.0, position=(x, 0.0, 0.0), skew=sk,
+        )
+        for x, sk in ((-0.02, (0.02, -0.01)), (0.02, (-0.015, 0.01)))
+    ]
+    cam = Camera.create(w, h, focal_px=0.78 * w, skew=(0.01, 0.0))
+    fused_fast = np.asarray(render_fused_fast(projs, cam))
+
+    mesh = make_mesh(("view",), (2,), devices=jax.devices()[:2])
+    fused_exact = np.asarray(
+        render_fused_projectors(projs, cam, mesh, num_steps=320)
+    )
+    sl = (slice(12, -12), slice(16, -16))
+    p = _psnr(fused_fast[sl], fused_exact[sl])
+    assert p > 40.0, f"skewed fusion vs exact fused oracle: {p:.1f} dB"
+
+
+def test_fused_fast_skewed_single_matches_fast_view(rng):
+    """A one-projector skewed 'fusion' must reduce to the (already
+    golden-tested) skewed fast view — ties the fused skew fold to the
+    batch path's."""
+    from lif_tpu.models.renderer import render_fast_view
+
+    h, w = 64, 96
+    rgb, disp = _smooth_scene(h, w)
+    proj = projector_from_arrays(
+        rgb, disp, focal_px=0.78 * w, invz_min=2.0, invz_max=0.2,
+        baseline=1.0, skew=(0.02, -0.015),
+    )
+    cam = Camera.create(
+        w, h, focal_px=0.78 * w, position=[0.03, 0.0, 0.0],
+        skew=(0.005, 0.01),
+    )
+    fused = np.asarray(render_fused_fast([proj], cam, to_srgb=False))
+    view = np.asarray(
+        render_fast_view(proj, cam, to_srgb=False, mask_mode="none")
+    )
+    p = _psnr(fused, view)
+    assert p > 50.0, f"single-projector skewed fusion drifted: {p:.1f} dB"
+
+
 def test_fused_nearest_wins_across_different_baselines(rng):
     """The merge key is ABSOLUTE inverse depth: a projector with surface
     at 1 m must beat one at 2 m regardless of their baselines (the
