@@ -1419,6 +1419,95 @@ def _is_per_pose(k, v, batch):
     )
 
 
+def _layer_tier_batch(
+    lay,
+    mode,  # 'march' | 'scaled' | 'target' | 'rotated'
+    setup,  # static plan tuple from _plan_march_tier (None for march)
+    plan,  # march TranslationPlan (None for the other tiers)
+    k_l,
+    crop_y,
+    c1_b,  # (B, 3)
+    rot_b,  # (B, 3, 3)
+    f2,
+    out_w,
+    out_h,
+    *,
+    refine,
+    rot_refine,
+    feathering,
+    mask_mode,
+    skewed,
+    raw,
+    base_offset=(0.0, 0.0),
+):
+    """ONE LDI layer's pose-batched render through its routed tier — the
+    single definition of the tier switch, shared by the mono batch,
+    stereo, and fused cores (round-4 VERDICT item 4: the cascade used to
+    be duplicated per entry point, so every cross-cutting feature — skew,
+    stereo fill, sharding — cost one patch per copy).
+
+    raw=False returns the composited (B, H, W, 4) RGBA; raw=True the
+    (rgba, alpha, hit, invz) tuple every tier kernel exposes (the stereo
+    blend lattice and the fusion merge consume these). base_offset: the
+    march tier's constant x/y source shift before any skew fold (the
+    width-pad dx for the mono batch path)."""
+    zero_bg = jnp.zeros(4, jnp.float32)
+    if mode == "scaled":
+        splan, sk, fr, dxu, dyu = setup
+        return _sweep_scaled.render_scaled_fetch_batch(
+            lay["rgb"], lay["disp"], lay["mask"],
+            lay["izmin"], lay["izmax"], c1_b, lay["focal"],
+            jnp.float32(fr), lay["grids"], zero_bg, splan, sk,
+            feathering=feathering, mask_mode=mask_mode, to_srgb=False,
+            refine=rot_refine, raw=raw, dx_user=dxu, dy_user=dyu,
+        )
+    if mode == "target":
+        tplan, k_t = setup
+        return _sweep_target.render_target_fetch_batch(
+            lay["rgb"], lay["disp"], lay["mask"],
+            lay["izmin"], lay["izmax"],
+            lay["pose_sc"], lay["grids"], zero_bg,
+            tplan, lay["xlo"], lay["ylo"], k_t,
+            feathering=feathering, mask_mode=mask_mode, to_srgb=False,
+            raw=raw,
+        )
+    if mode == "rotated":
+        rplan, wi, hi, rk, skip, sk1_t, sk2_t = setup
+        return _rotated_march.render_rotated_march_batch(
+            lay["rgb"], lay["disp"], lay["mask"],
+            lay["izmin"], lay["izmax"], lay["focal"],
+            c1_b, rot_b, lay["aligned"], f2, lay["grids"],
+            zero_bg, rplan, rk, out_w, out_h, wi, hi,
+            feathering=feathering, mask_mode=mask_mode, to_srgb=False,
+            refine=rot_refine, raw=raw, skip_phase_a=skip,
+            sk1=sk1_t, sk2=sk2_t,
+        )
+    assert mode == "march", mode
+    rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+    offset = base_offset
+    if skewed:
+        # frustum-skew fold: x rides the phase-matched warp tables, y is
+        # a constant source lerp applied BEFORE the outpaint crop (the y
+        # shift must read real outpaint texels)
+        d = lay["doff"]
+        rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
+        disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
+        mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
+        offset = (d[0], d[1])
+    if crop_y:
+        out_hc = plan.out_h
+        rgb_l = rgb_l[crop_y : crop_y + out_hc]
+        disp_l = disp_l[crop_y : crop_y + out_hc]
+        mask_l = mask_l[crop_y : crop_y + out_hc]
+    return _sweep_march.render_translation_batch(
+        rgb_l, disp_l, mask_l, lay["izmin"], lay["izmax"],
+        c1_b, lay["focal"], lay["plane_invz"], zero_bg,
+        plan=plan, num_planes=k_l, refine=refine,
+        feathering=feathering, mask_mode=mask_mode, to_srgb=False,
+        raw=raw, offset=offset, crop_y=crop_y,
+    )
+
+
 def _fast_batch_core_jit(**statics):
     return _memo_jit(_fast_batch_core, _FAST_BATCH_CORE_CACHE, **statics)
 
@@ -1651,66 +1740,17 @@ def _fast_chunk_body(
     for lay, plan, m, setup, k_l, crop_y in zip(
         layers, plans, modes, static_setups, nums, crops
     ):
-        if m == "march":
-            rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
-            offset = (pad_dx, 0.0)
-            if skewed:
-                # frustum-skew fold (see render_fast_view): x rides the
-                # phase-matched warp tables, y is a constant source
-                # lerp applied BEFORE the outpaint crop
-                d = lay["doff"]
-                rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
-                disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
-                mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
-                offset = (d[0], d[1])
-            if crop_y:
-                rgb_l = rgb_l[crop_y : crop_y + out_h]
-                disp_l = disp_l[crop_y : crop_y + out_h]
-                mask_l = mask_l[crop_y : crop_y + out_h]
-            layer = _sweep_march.render_translation_batch(
-                rgb_l, disp_l, mask_l,
-                lay["izmin"], lay["izmax"], c1_b, lay["focal"],
-                lay["plane_invz"], zero_bg,
-                plan=plan, num_planes=k_l, refine=refine,
-                feathering=feathering, mask_mode=mask_mode, to_srgb=False,
-                offset=offset, crop_y=crop_y,
+        if m in ("march", "scaled", "target", "rotated"):
+            # dxu (scaled) / doff (march) already carry the width-pad
+            # shift plus the frustum-skew fold; rotated layers always
+            # run at the true width (render_fast_batch drops the pad
+            # whenever any layer leaves the band tiers)
+            layer = _layer_tier_batch(
+                lay, m, setup, plan, k_l, crop_y, c1_b, rot_b, f2,
+                out_w_true, out_h, refine=refine, rot_refine=rot_refine,
+                feathering=feathering, mask_mode=mask_mode,
+                skewed=skewed, raw=False, base_offset=(pad_dx, 0.0),
             )  # (B, H, W, 4)
-        elif m == "scaled":
-            # dxu already carries the width-pad shift plus the frustum
-            # skew fold (-f1*(sk1-sk2)); see _plan_march_tier
-            splan, sk, fr, dxu, dyu = setup
-            layer = _sweep_scaled.render_scaled_fetch_batch(
-                lay["rgb"], lay["disp"], lay["mask"],
-                lay["izmin"], lay["izmax"], c1_b, lay["focal"],
-                jnp.float32(fr), lay["grids"], zero_bg,
-                splan, sk, feathering=feathering, mask_mode=mask_mode,
-                to_srgb=False, refine=rot_refine, dx_user=dxu,
-                dy_user=dyu,
-            )
-        elif m == "target":
-            tplan, k_t = setup
-            layer = _sweep_target.render_target_fetch_batch(
-                lay["rgb"], lay["disp"], lay["mask"],
-                lay["izmin"], lay["izmax"],
-                lay["pose_sc"], lay["grids"], zero_bg,
-                tplan, lay["xlo"], lay["ylo"], k_t,
-                feathering=feathering, mask_mode=mask_mode,
-                to_srgb=False,
-            )
-        elif m == "rotated":
-            rplan, wi, hi, rk, skip, sk1_t, sk2_t = setup
-            layer = _rotated_march.render_rotated_march_batch(
-                lay["rgb"], lay["disp"], lay["mask"],
-                lay["izmin"], lay["izmax"], lay["focal"],
-                c1_b, rot_b, lay["aligned"], f2, lay["grids"],
-                zero_bg, rplan, rk, out_w_true, out_h, wi, hi,
-                feathering=feathering, mask_mode=mask_mode,
-                to_srgb=False, refine=rot_refine, skip_phase_a=skip,
-                sk1=sk1_t, sk2=sk2_t,
-            )
-            # no out_w != out_w_true pad here: render_fast_batch drops
-            # the width pad whenever any layer leaves the band tiers,
-            # so rotated layers always run at the true width
         else:
             if mask_mode == "hard":
                 raise ValueError(
@@ -2221,57 +2261,11 @@ def _stereo_chunk_body(
     static_r = static_r or (None,) * num_layers
 
     def _eye(lay, c1_b, rot_b, plan, k_l, crop_y, mode, setup):
-        if mode == "scaled":
-            splan, sk, fr, dxu, dyu = setup
-            return _sweep_scaled.render_scaled_fetch_batch(
-                lay["rgb"], lay["disp"], lay["mask"],
-                lay["izmin"], lay["izmax"], c1_b, lay["focal"],
-                jnp.float32(fr), lay["grids"], zero_bg, splan, sk,
-                feathering=feathering, mask_mode=mask_mode,
-                to_srgb=False, refine=rot_refine, raw=True,
-                dx_user=dxu, dy_user=dyu,
-            )
-        if mode == "target":
-            tplan, k_t = setup
-            return _sweep_target.render_target_fetch_batch(
-                lay["rgb"], lay["disp"], lay["mask"],
-                lay["izmin"], lay["izmax"],
-                lay["pose_sc"], lay["grids"], zero_bg,
-                tplan, lay["xlo"], lay["ylo"], k_t,
-                feathering=feathering, mask_mode=mask_mode,
-                to_srgb=False, raw=True,
-            )
-        if mode == "rotated":
-            rplan, wi, hi, rk, skip, sk1_t, sk2_t = setup
-            return _rotated_march.render_rotated_march_batch(
-                lay["rgb"], lay["disp"], lay["mask"],
-                lay["izmin"], lay["izmax"], lay["focal"],
-                c1_b, rot_b, lay["aligned"], f2, lay["grids"],
-                zero_bg, rplan, rk, out_w, out_h, wi, hi,
-                feathering=feathering, mask_mode=mask_mode,
-                to_srgb=False, refine=rot_refine, raw=True,
-                skip_phase_a=skip, sk1=sk1_t, sk2=sk2_t,
-            )
-        rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
-        offset = (0.0, 0.0)
-        if skewed:
-            # before the crop: the y shift must read real outpaint texels
-            d = lay["doff"]
-            rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
-            disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
-            mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
-            offset = (d[0], d[1])
-        if crop_y:
-            out_hc = plan.out_h
-            rgb_l = rgb_l[crop_y : crop_y + out_hc]
-            disp_l = disp_l[crop_y : crop_y + out_hc]
-            mask_l = mask_l[crop_y : crop_y + out_hc]
-        return _sweep_march.render_translation_batch(
-            rgb_l, disp_l, mask_l, lay["izmin"], lay["izmax"],
-            c1_b, lay["focal"], lay["plane_invz"], zero_bg,
-            plan=plan, num_planes=k_l, refine=refine,
-            feathering=feathering, mask_mode=mask_mode, to_srgb=False,
-            raw=True, offset=offset, crop_y=crop_y,
+        return _layer_tier_batch(
+            lay, mode, setup, plan, k_l, crop_y, c1_b, rot_b, f2,
+            out_w, out_h, refine=refine, rot_refine=rot_refine,
+            feathering=feathering, mask_mode=mask_mode,
+            skewed=skewed, raw=True,
         )
 
     for i in range(num_layers):
@@ -2711,23 +2705,11 @@ def _fused_fast_core(
         acc_a = None
         front = None
         for lay, plan, k_l in zip(layers, plan_l, num_l):
-            rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
-            offset = (0.0, 0.0)
-            if p_skewed:
-                # frustum-skew fold (see _fast_chunk_body): x rides the
-                # phase-matched warp tables, y is a constant source lerp
-                d = lay["doff"]
-                rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
-                disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
-                mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
-                offset = (d[0], d[1])
-            rgba, alpha, hit, izs = _sweep_march.render_translation_batch(
-                rgb_l, disp_l, mask_l,
-                lay["izmin"], lay["izmax"], c1, lay["focal"],
-                lay["plane_invz"], zero_bg,
-                plan=plan, num_planes=k_l,
-                feathering=feathering, mask_mode=m_mode, to_srgb=False,
-                raw=True, offset=offset,
+            rgba, alpha, hit, izs = _layer_tier_batch(
+                lay, "march", None, plan, k_l, 0, c1, None, None,
+                None, None, refine=0, rot_refine=0,
+                feathering=feathering, mask_mode=m_mode,
+                skewed=p_skewed, raw=True,
             )
             inv_abs = izs
             if acc_rgb is None:

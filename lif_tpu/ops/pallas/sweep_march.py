@@ -84,11 +84,26 @@ _OCC_EXTRA = 2
 # G=4 2.87, G=8 3.22, ungrouped two-pass 3.12 — small groups amortize the
 # per-plane kstar/pdiffc/diffc scratch read-modify-writes into registers
 # without paying for wasted tail/inactive plane visits inside a group.
-_GROUP = 2
+# LIF_MARCH_GROUP / LIF_MARCH_TW: experiment overrides (fresh process
+# only — compiled-kernel caches key on shapes, not on these globals);
+# scratch/prof_march.py sweeps them.
+import os as _os
+
+_GROUP = int(_os.environ.get("LIF_MARCH_GROUP", "2"))
 
 
 def _round_up(n: int, q: int) -> int:
     return -(-n // q) * q
+
+
+_TW_PREF = tuple(
+    int(t) for t in _os.environ.get(
+        "LIF_MARCH_TW", "128,64,32,16,8"
+    ).split(",")
+)  # band-width preference (see _pick_tw); env-overridable so
+# scratch/prof_march.py can sweep wider bands (256, 320) in a fresh
+# process — wider bands amortize per-plane scalar cost over more pixels
+# per program at the cost of VMEM window size
 
 
 def _pick_tw(w: int) -> int:
@@ -96,7 +111,7 @@ def _pick_tw(w: int) -> int:
     # amortize the per-plane scalar work (SMEM loads, branches, loop
     # control — paid once per grid program per plane) better, at the
     # cost of a larger VMEM window + scratch footprint
-    for tw in (128, 64, 32, 16, 8):
+    for tw in _TW_PREF:
         if w % tw == 0:
             return tw
     raise ValueError(f"output width {w} must be divisible by 8")
