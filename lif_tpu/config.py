@@ -36,6 +36,12 @@ class RenderConfig:
     # PSNR vs the march family (39.6 -> 37.1 dB at K=256); plane density
     # is the honest fidelity lever (plane_mode / march_planes).
     march_refine: int = 0
+    # snap-grid subsampling stride: planes at every `march_stride`-th
+    # integer parallax (phase-aligned — warps stay exact translates).
+    # >1 halves/quarters the march's plane-loop trip count; pair with
+    # march_refine = stride - 1 to restore the skipped interior integer
+    # planes exactly at flagged (crossing) planes only.
+    march_stride: int = 1
     # march plane placement: 'snap' places planes at integer-pixel
     # parallax (exact warps — the sweep solves the continuous
     # first-crossing problem for bilinear sources exactly; 50.8 dB vs the

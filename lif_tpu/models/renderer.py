@@ -1314,6 +1314,7 @@ def render_fast_batch(
                     lay["focal_host"], pos_b[:, 0].tolist(),
                     lay["izmin_host"], lay["izmax_host"],
                     num_planes=explicit_planes, phase_px=float(d[0]),
+                    stride=cfg.march_stride,
                 )
                 tables.append(jnp.asarray(tab))
                 nums.append(k_l)
@@ -1934,6 +1935,7 @@ def render_stereo_fast_batch(
                         lay["focal_host"], pos_b[:, 0].tolist(),
                         lay["izmin_host"], lay["izmax_host"],
                         num_planes=explicit_planes, phase_px=float(d[0]),
+                        stride=cfg.march_stride,
                     )
                     tables.append(jnp.asarray(tab))
                     nums.append(k_l)
@@ -2590,6 +2592,7 @@ def render_fused_fast_batch(
                     lay["focal_host"], pos_b[:, 0].tolist(),
                     lay["izmin_host"], lay["izmax_host"],
                     num_planes=num_planes, phase_px=float(d[0]),
+                    stride=cfg.march_stride,
                 )
                 tab = jnp.asarray(tab)
             else:

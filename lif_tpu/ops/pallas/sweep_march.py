@@ -381,14 +381,27 @@ def _kernel(
             izk = izt[p, k]
             prev_iz = izt[p, km1]
 
+            # consecutive flagged planes reuse the previous color warp
+            @pl.when(lastk[0, 0] != k - 1)
+            def _():
+                prgba[:] = _warp((0, 4), km1)
+
+            rgba = _warp((0, 4), k)
+
             if refine == 0:
                 s_star = t
+                rgba_c = prgba[:] + s_star[None] * (rgba - prgba[:])
             else:
                 # mini-sweep of `refine` interior sub-planes inside the
                 # bracket: the per-plane shift is affine in invz, so
                 # sub-plane shifts/thresholds are exact lerps of the
                 # bracketing planes' — (refine+1)x the effective plane
-                # density, paid only at flagged planes
+                # density, paid only at flagged planes. COLOR is warped
+                # at the sub-planes too and lerped within the found
+                # SUB-bracket (outer-plane color lerp is a bracket-wide
+                # tent blur — the march_stride quality killer; on snap
+                # grids the sub-planes land back on the integer lattice,
+                # so the sub-plane warps are exact translates).
                 tx_k = ixs[p, k].astype(jnp.float32) + fxs[p, k]
                 tx_k1 = ixs[p, km1].astype(jnp.float32) + fxs[p, km1]
                 tk_k = tkt[p, k]
@@ -397,23 +410,32 @@ def _kernel(
                 slo = jnp.zeros((tw, lc), jnp.float32)
                 pd2 = pdiffc[:]
                 d2 = diffc[:]
+                c_lo = prgba[:]
+                c_hi = rgba
                 sfound = jnp.zeros((tw, lc), bool)
                 prev_g = pdiffc[:]
+                prev_c = prgba[:]
                 prev_s = 0.0
-                for j in range(1, refine + 1):
+                for j in range(1, refine + 2):
                     s = j * step
-                    tx_s = tx_k1 + s * (tx_k - tx_k1)
-                    o_s = jnp.floor(tx_s).astype(jnp.int32)
-                    fx_s = tx_s - o_s.astype(jnp.float32)
-                    g = _warp_of((4, 5), o_s, fx_s)[0] - (
-                        tk_k1 + s * (tk_k - tk_k1)
-                    )
+                    if j <= refine:
+                        tx_s = tx_k1 + s * (tx_k - tx_k1)
+                        o_s = jnp.floor(tx_s).astype(jnp.int32)
+                        fx_s = tx_s - o_s.astype(jnp.float32)
+                        w5 = _warp_of((0, 5), o_s, fx_s)
+                        g = w5[4] - (tk_k1 + s * (tk_k - tk_k1))
+                        c_s = w5[0:4]
+                    else:
+                        g, c_s = diffc[:], rgba  # the k plane itself
                     csub = jnp.logical_and(~sfound, g > 0.0)
                     slo = jnp.where(csub, prev_s, slo)
                     pd2 = jnp.where(csub, prev_g, pd2)
                     d2 = jnp.where(csub, g, d2)
+                    c_lo = jnp.where(csub[None], prev_c, c_lo)
+                    c_hi = jnp.where(csub[None], c_s, c_hi)
                     sfound = jnp.logical_or(sfound, csub)
                     prev_g = g
+                    prev_c = c_s
                     prev_s = s
                 slo = jnp.where(sfound, slo, prev_s)
                 pd2 = jnp.where(sfound, pd2, prev_g)
@@ -421,20 +443,14 @@ def _kernel(
                     pd2 / jnp.minimum(pd2 - d2, -1e-12), 0.0, 1.0
                 )
                 s_star = slo + step * t2
-                s_star = jnp.where(
-                    kstar[:] == 0.0, jnp.ones_like(s_star), s_star
-                )
+                k0sel = kstar[:] == 0.0
+                s_star = jnp.where(k0sel, jnp.ones_like(s_star), s_star)
+                rgba_c = c_lo + t2[None] * (c_hi - c_lo)
+                # k* == 0 snaps to the first plane; color snaps with it
+                rgba_c = jnp.where(k0sel[None], rgba, rgba_c)
 
             iz_c = prev_iz + s_star * (izk - prev_iz)
             out_ref[0, 4] = jnp.where(sel, iz_c, out_ref[0, 4])
-
-            # consecutive flagged planes reuse the previous color warp
-            @pl.when(lastk[0, 0] != k - 1)
-            def _():
-                prgba[:] = _warp((0, 4), km1)
-
-            rgba = _warp((0, 4), k)
-            rgba_c = prgba[:] + s_star[None] * (rgba - prgba[:])
             out_ref[0, 0:4] = jnp.where(sel[None], rgba_c, out_ref[0, 0:4])
             prgba[:] = rgba
             lastk[0, 0] = k

@@ -168,12 +168,12 @@ def test_first_plane_crossing_snaps_to_nearest_plane(rng):
 
 def test_refine_matches_oracle(rng):
     """Sub-bracket refinement: Pallas (interpret) == the refined XLA
-    oracle, and the refined render stays in the same fidelity class as
-    the plain secant. (Measured on the SFMoMA pose, docs/DESIGN.md:
-    sub-bracket first-crossing search does NOT improve PSNR vs the march
-    family — it catches grazing crossings between the march's own
-    evaluation points — which is why march_refine defaults to 0 and plane
-    density is the fidelity lever.)"""
+    oracle, and refinement never DEGRADES fidelity. Since round 5 the
+    sub-sweep also warps COLOR at the sub-planes (the outer-plane color
+    lerp was a bracket-wide tent blur), so on sparse grids refine now
+    genuinely lifts PSNR — it is the march_stride companion knob
+    (stride-s grids + refine = s-1 reproduce the dense snap grid
+    exactly; see config.march_stride)."""
     rgb, disp, mask = _scene(rng)
     h, w = disp.shape
     izmin, izmax = 2.0, 0.1
@@ -203,7 +203,7 @@ def test_refine_matches_oracle(rng):
         )
         assert np.abs(a - b).max() < 1e-4, f"refine={refine}"
         psnrs[refine] = _psnr(a, ref)
-    assert abs(psnrs[3] - psnrs[0]) < 3.0, psnrs
+    assert psnrs[3] > psnrs[0] - 0.5, psnrs  # refine must not hurt
 
 
 def test_pallas_batch_equals_per_pose(rng):
