@@ -1484,29 +1484,66 @@ def _layer_tier_batch(
             sk1=sk1_t, sk2=sk2_t,
         )
     assert mode == "march", mode
-    rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
     offset = base_offset
     if skewed:
-        # frustum-skew fold: x rides the phase-matched warp tables, y is
-        # a constant source lerp applied BEFORE the outpaint crop (the y
-        # shift must read real outpaint texels)
         d = lay["doff"]
-        rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
-        disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
-        mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
         offset = (d[0], d[1])
-    if crop_y:
-        out_hc = plan.out_h
-        rgb_l = rgb_l[crop_y : crop_y + out_hc]
-        disp_l = disp_l[crop_y : crop_y + out_hc]
-        mask_l = mask_l[crop_y : crop_y + out_hc]
+    rgb_l, disp_l, mask_l = _march_sources(lay, plan, crop_y, skewed)
     return _sweep_march.render_translation_batch(
         rgb_l, disp_l, mask_l, lay["izmin"], lay["izmax"],
         c1_b, lay["focal"], lay["plane_invz"], zero_bg,
         plan=plan, num_planes=k_l, refine=refine,
         feathering=feathering, mask_mode=mask_mode, to_srgb=False,
         raw=raw, offset=offset, crop_y=crop_y,
+        prepared=lay.get("march_prep"),
     )
+
+
+def _march_sources(lay, plan, crop_y, skewed):
+    """The march tier's source pipeline: frustum-skew y pre-lerp (before
+    the outpaint crop — the shift must read real outpaint texels), then
+    the center crop. Skipped when a hoisted `march_prep` pack is present
+    (the textures are then unused by the Pallas path)."""
+    rgb_l, disp_l, mask_l = lay["rgb"], lay["disp"], lay["mask"]
+    if "march_prep" in lay:
+        return rgb_l, disp_l, mask_l
+    if skewed:
+        d = lay["doff"]
+        rgb_l = _sweep_march.preshift_source(rgb_l, 0.0, d[1])
+        disp_l = _sweep_march.preshift_source(disp_l, 0.0, d[1])
+        mask_l = _sweep_march.preshift_source(mask_l, 0.0, d[1])
+    if crop_y:
+        out_hc = plan.out_h
+        rgb_l = rgb_l[crop_y : crop_y + out_hc]
+        disp_l = disp_l[crop_y : crop_y + out_hc]
+        mask_l = mask_l[crop_y : crop_y + out_hc]
+    return rgb_l, disp_l, mask_l
+
+
+def _attach_march_prep(fixed_layers, plans, modes, crops, skewed):
+    """Hoist the march tier's pose-independent source prep (padded
+    transposed stack + skip tables) out of the pose-chunk loop: computed
+    ONCE per dispatch here, threaded through the chunk body as
+    loop-invariant arrays. XLA does not hoist these ops out of the
+    lax.map itself — measured +0.76 ms/frame of per-chunk recompute at
+    pose_chunk=48 (scratch/prof_march.py --stages). TPU path only (the
+    CPU oracle reads the raw textures)."""
+    if jax.default_backend() == "cpu":
+        return fixed_layers
+    from ..ops.pallas.sweep_march import prepare_translation_src
+
+    out = []
+    for lay, plan, m, crop_y in zip(fixed_layers, plans, modes, crops):
+        if m != "march":
+            out.append(lay)
+            continue
+        rgb_l, disp_l, mask_l = _march_sources(lay, plan, crop_y, skewed)
+        out.append(dict(
+            lay,
+            march_prep=prepare_translation_src(rgb_l, disp_l, mask_l,
+                                               plan),
+        ))
+    return tuple(out)
 
 
 def _fast_batch_core_jit(**statics):
@@ -1665,6 +1702,9 @@ def _fast_batch_core(
     fixed_layers = tuple(
         {k: v for k, v in lay.items() if k not in pp}
         for lay, pp in zip(layers, pp_layers)
+    )
+    fixed_layers = _attach_march_prep(
+        fixed_layers, plans, modes, crops, skewed
     )
     if pose_chunk and batch > pose_chunk:
         pose_chunk = _balanced_chunk(batch, pose_chunk)
@@ -2099,6 +2139,14 @@ def _stereo_fast_core(
 
     pp_l, fixed_l = _split_layers(layers_l)
     pp_r, fixed_r = _split_layers(layers_r)
+    fixed_l = _attach_march_prep(
+        fixed_l, plans_l, modes_l or ("march",) * num_layers,
+        crops_l or (0,) * num_layers, skewed,
+    )
+    fixed_r = _attach_march_prep(
+        fixed_r, plans_r, modes_r or ("march",) * num_layers,
+        crops_r or (0,) * num_layers, skewed,
+    )
     kw = dict(
         plans_l=plans_l, plans_r=plans_r, num_layers=num_layers,
         nums_l=nums_l, nums_r=nums_r, modes_l=modes_l, modes_r=modes_r,
@@ -2678,6 +2726,15 @@ def _fused_fast_core(
                 for lay, pp in zip(layers, pps)
             )
             for layers, pps in zip(proj_args, pp_tabs)
+        )
+        skews_t = skews or (False,) * len(proj_args)
+        fixed_args = tuple(
+            _attach_march_prep(
+                layers_f, plan_l, ("march",) * len(layers_f),
+                (0,) * len(layers_f), p_skewed,
+            )
+            for layers_f, plan_l, p_skewed in zip(
+                fixed_args, plans, skews_t)
         )
 
         def _chunk(x):

@@ -70,7 +70,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..sweep_march import TranslationPlan, _finalize, plane_tables
 from .bounds import plane_loop_bounds
 
-__all__ = ["render_translation_pallas", "render_translation_batch_pallas"]
+__all__ = [
+    "render_translation_pallas",
+    "render_translation_batch_pallas",
+    "prepare_translation_src",
+]
 
 _COARSE = 8  # coarse skip-table cell width, px (one sublane group)
 # extra occupancy sliding-span cells budgeting the inter-plane shift
@@ -461,42 +465,59 @@ def _kernel(
     jax.lax.fori_loop(k_lo, k_hi, pass2, 0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "plan", "num_planes", "batch", "refine", "variant", "interpret",
-    ),
-)
-def _sweep_lateral(
-    src_t,  # (5, Wp, Hp) f32 transposed padded stack
-    ix_t,  # (B, K) i32 per-pose plane shift tables
-    fx_t,  # (B, K) f32
-    plane_invz,
-    invz_min,
-    invz_max,
-    plan: TranslationPlan,
-    num_planes: int,
-    batch: int,
-    refine: int = 0,
-    variant: str = "grouped",
-    interpret: bool = False,
-):
-    w, h = plan.out_w, plan.out_h
-    tw = _pick_tw(w)
-    lc = 128
-    bw = _round_up(plan.tab_span_x + tw + 16, 64)
-    wp, hp = src_t.shape[1], src_t.shape[2]
-    assert (w - tw) + bw <= wp, (plan, bw, wp)
-    assert hp % lc == 0, hp
-    izmin = jnp.asarray(invz_min, jnp.float32)
-    izmax = jnp.asarray(invz_max, jnp.float32)
-    izt = jnp.asarray(plane_invz, jnp.float32)  # (B, K) per-pose grids
-    # plane thresholds in texel units: texel > tk  <=>  decoded d > izt
-    # (the decode texel*(izmin-izmax)+izmax is affine with positive slope)
-    tkt = (izt - izmax) / (izmin - izmax)
+def prepare_translation_src(rgb, disp, mask, plan: TranslationPlan):
+    """Pose-independent source preparation for the lateral march: the
+    transposed (channels, x, y) padded stack plus its skip tables.
+    Traced (safe inside an outer jit); pose-chunked callers compute this
+    ONCE per dispatch and thread it through the chunk loop, since it
+    depends only on the textures and the static plan.
 
+    The source must already be pre-shifted (skew fold) and center-cropped
+    (outpainted layers) exactly as the textures passed alongside would
+    be."""
+    h, w = disp.shape
+    assert plan.src_w == w and plan.src_h == h, (plan, disp.shape)
+    assert plan.out_h == h, (plan, "center-crop taller sources first")
+    tw = _pick_tw(plan.out_w)
+    bw = _round_up(plan.tab_span_x + tw + 16, 64)
+    # the last out band starts at out_w - tw; its window must fit in the
+    # padded source. The padded width is then rounded up to a multiple of
+    # _COARSE so the skip-table reshape (wp // _COARSE cells) is exact for
+    # ANY source width — an outpainted layer whose margin already covers
+    # the shift range can otherwise reach here with pad_hi_x == 0 and a
+    # non-8-divisible wp.
+    pad_hi_x = max(0, (plan.out_w - tw) + bw - w - plan.pad_lo_x)
+    pad_hi_x += -(w + plan.pad_lo_x + pad_hi_x) % _COARSE
+    hp = _round_up(h, 128)
+    rgbm = jnp.concatenate(
+        [rgb.astype(jnp.float32), mask.astype(jnp.float32)[..., None]],
+        axis=-1,
+    )
+    stack = jnp.concatenate(
+        [rgbm, disp.astype(jnp.float32)[..., None]], axis=-1
+    )  # (H, W, 5)
+    src_t = stack.transpose(2, 1, 0)  # (5, W, H)
+    src_t = jnp.pad(
+        src_t,
+        ((0, 0), (plan.pad_lo_x, pad_hi_x), (0, hp - h)),
+        mode="edge",
+    )
+    cm3, cmin3, occ2 = _skip_tables(src_t, tw)
+    return src_t, cm3, cmin3, occ2
+
+
+def _skip_tables(src_t, tw: int):
+    """Pose-independent skip tables of a padded transposed source stack:
+    sliding max/min of the coarse disparity cells (cm3/cmin3) and the
+    64-bucket value-interval occupancy bitmask (occ2). Hoisted out of
+    _sweep_lateral so pose-chunked trajectories build them ONCE per
+    dispatch instead of once per lax.map chunk (measured +0.76 ms/frame
+    of per-chunk recompute at pose_chunk=48, scratch/prof_march.py
+    --stages)."""
+    wp, hp = src_t.shape[1], src_t.shape[2]
+    lc = 128
     # skip table: coarse (8-px) per-cell max of disparity, then a sliding
-    # max over the 10 cells a (tw+17)-px slice can touch, per 128-lane
+    # max over the cells a (tw+17)-px slice can touch, per 128-lane
     # y-chunk. cm3[co, c] bounds every texel _warp(k) can read when
     # ixs[k] // 8 == co - b*(tw//8).
     ncells = wp // _COARSE
@@ -548,17 +569,52 @@ def _sweep_lateral(
     for i in range(1, span_occ):
         occ2 = occ2 | opad[i : i + ncells]
 
-    # bounded-loop tables (exact; see the kernel comment): k_lo = first
-    # plane whose sliding-MAX skip test passes at its own cell; k_hi =
-    # one past the first plane whose sliding-window MIN is strictly in
-    # front (every readable texel ahead => every remaining pixel crosses
-    # there). Computed dense over (B, K, nb, Hc) — a few M elementwise
-    # ops, trivial next to the render itself.
+    # min tables for the bounded-loop k_hi (window MIN strictly in front)
     cmin = src_t[4].reshape(ncells, _COARSE, hp // lc, lc).min(axis=(1, 3))
     padded_n = jnp.pad(cmin, ((0, span - 1), (0, 0)), mode="edge")
     cmin3 = jnp.stack(
         [padded_n[i : i + ncells] for i in range(span)], axis=0
     ).min(axis=0)  # (ncells, Hc)
+    return cm3, cmin3, occ2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan", "num_planes", "batch", "refine", "variant", "interpret",
+    ),
+)
+def _sweep_lateral(
+    src_t,  # (5, Wp, Hp) f32 transposed padded stack
+    cm3,  # (ncells, Hc) f32 from _skip_tables(src_t, tw)
+    cmin3,  # (ncells, Hc) f32
+    occ2,  # (ncells, Hc, 2) i32
+    ix_t,  # (B, K) i32 per-pose plane shift tables
+    fx_t,  # (B, K) f32
+    plane_invz,
+    invz_min,
+    invz_max,
+    plan: TranslationPlan,
+    num_planes: int,
+    batch: int,
+    refine: int = 0,
+    variant: str = "grouped",
+    interpret: bool = False,
+):
+    w, h = plan.out_w, plan.out_h
+    tw = _pick_tw(w)
+    lc = 128
+    bw = _round_up(plan.tab_span_x + tw + 16, 64)
+    wp, hp = src_t.shape[1], src_t.shape[2]
+    assert (w - tw) + bw <= wp, (plan, bw, wp)
+    assert hp % lc == 0, hp
+    izmin = jnp.asarray(invz_min, jnp.float32)
+    izmax = jnp.asarray(invz_max, jnp.float32)
+    izt = jnp.asarray(plane_invz, jnp.float32)  # (B, K) per-pose grids
+    # plane thresholds in texel units: texel > tk  <=>  decoded d > izt
+    # (the decode texel*(izmin-izmax)+izmax is affine with positive slope)
+    tkt = (izt - izmax) / (izmin - izmax)
+
     ixs_i = ix_t.astype(jnp.int32).reshape(batch, num_planes)
     band_cell = jnp.arange(w // tw, dtype=jnp.int32) * (tw // _COARSE)
     co_all = band_cell[None, None, :] + (ixs_i // _COARSE)[:, :, None]
@@ -655,6 +711,7 @@ def render_translation_batch_pallas(
     crop_y: int = 0,
     variant: str = "grouped",
     interpret: bool = False,
+    prepared=None,
 ):
     """Batched equivalent of sweep_march.render_translation_xla on TPU for
     the LATERAL case: c1[i] = [cx_i, 0, 0], f1 == f2. The source may be
@@ -666,13 +723,15 @@ def render_translation_batch_pallas(
     (B, H, W, 4); the whole batch is ONE kernel launch sharing one source
     read per tile.
 
+    prepared: optional (src_t, cm3, cmin3, occ2) from
+    prepare_translation_src — pose-chunked callers hoist the padded
+    source stack and its skip tables out of the chunk loop (they depend
+    only on the textures); rgb/disp/mask are then unused.
+
     variant: 'grouped' (default — pass 1 visits _GROUP planes per loop
     iteration, chaining the crossing state through registers) or
     'two_pass' (one plane per iteration). Identical outputs (equality-
     tested); grouped measures ~12% faster on the SFMoMA batch bench."""
-    h, w = disp.shape
-    assert plan.src_w == w and plan.src_h == h, (plan, disp.shape)
-    assert plan.out_h == h, (plan, "center-crop taller sources first")
     izmin = jnp.asarray(invz_min, jnp.float32)
     izmax = jnp.asarray(invz_max, jnp.float32)
     invz = jnp.asarray(plane_invz, jnp.float32)
@@ -684,33 +743,11 @@ def render_translation_batch_pallas(
         lambda cc, pp: plane_tables(plan, pp, cc, f1, dx=offset[0])
     )(c1, invz)
 
-    # transposed (channels, x, y) stack; x edge-padded for the shift range,
-    # y padded to the 128-lane grid (values there never reach the output)
-    tw = _pick_tw(plan.out_w)
-    bw = _round_up(plan.tab_span_x + tw + 16, 64)
-    # the last out band starts at out_w - tw; its window must fit in the
-    # padded source. The padded width is then rounded up to a multiple of
-    # _COARSE so the skip-table reshape (wp // _COARSE cells) is exact for
-    # ANY source width — an outpainted layer whose margin already covers
-    # the shift range can otherwise reach here with pad_hi_x == 0 and a
-    # non-8-divisible wp.
-    pad_hi_x = max(0, (plan.out_w - tw) + bw - w - plan.pad_lo_x)
-    pad_hi_x += -(w + plan.pad_lo_x + pad_hi_x) % _COARSE
-    hp = _round_up(h, 128)
-    rgbm = jnp.concatenate(
-        [rgb.astype(jnp.float32), mask.astype(jnp.float32)[..., None]], axis=-1
-    )
-    stack = jnp.concatenate(
-        [rgbm, disp.astype(jnp.float32)[..., None]], axis=-1
-    )  # (H, W, 5)
-    src_t = stack.transpose(2, 1, 0)  # (5, W, H)
-    src_t = jnp.pad(
-        src_t,
-        ((0, 0), (plan.pad_lo_x, pad_hi_x), (0, hp - h)),
-        mode="edge",
-    )
+    if prepared is None:
+        prepared = prepare_translation_src(rgb, disp, mask, plan)
+    src_t, cm3, cmin3, occ2 = prepared
     found, rstar, rgba_star = _sweep_lateral(
-        src_t, ix_t, fx_t, invz, izmin, izmax,
+        src_t, cm3, cmin3, occ2, ix_t, fx_t, invz, izmin, izmax,
         plan=plan, num_planes=num_planes, batch=batch, refine=refine,
         variant=variant, interpret=interpret,
     )

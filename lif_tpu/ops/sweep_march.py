@@ -678,6 +678,7 @@ def render_translation_batch(
     raw: bool = False,
     offset=(0.0, 0.0),
     crop_y: int = 0,
+    prepared=None,
 ):
     """Pose-batched dispatch: ONE Pallas launch for the whole batch on TPU
     (poses iterate innermost over the resident source window — one source
@@ -704,5 +705,5 @@ def render_translation_batch(
         rgb, disp, mask, invz_min, invz_max, c1, f1, plane_invz,
         background, plan, num_planes, feathering=feathering,
         mask_mode=mask_mode, to_srgb=to_srgb, refine=refine, raw=raw,
-        offset=offset, crop_y=crop_y,
+        offset=offset, crop_y=crop_y, prepared=prepared,
     )
