@@ -29,6 +29,9 @@ import json
 import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import numpy as np
 
 # BENCH_SMOKE=1: shrink every axis so the whole script (all five configs

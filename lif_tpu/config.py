@@ -63,6 +63,12 @@ class RenderConfig:
     # refine was measured to not help (39.34 -> 39.45 dB) while the
     # fetch gains +7..13 dB over the bracket color lerp.
     target_step_px: float = 1.0
+    # in-bracket DEPTH sub-sweep on the target tier's depth-only march
+    # (pass2d): with target_step_px widened to s, target_refine = s - 1
+    # restores the dense ladder's solved-invz accuracy at flagged planes
+    # only — pass 1's plane-loop trip count drops ~s x (the orbit tier's
+    # throughput lever; the color fetch is already exact either way).
+    target_refine: int = 0
     # multi-projector fusion: candidates whose frontmost absolute
     # inverse depth is within this RELATIVE tolerance of the nearest
     # are blended with triangular weights (w = 1 at the front, 0 at the

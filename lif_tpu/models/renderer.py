@@ -1342,6 +1342,7 @@ def render_fast_batch(
         rotated=rotated,
         refine=refine,
         rot_refine=cfg.rotated_refine,
+        t_refine=cfg.target_refine,
         batch=len(cameras),
         nums=tuple(nums),
         chunk=chunk,
@@ -1439,6 +1440,7 @@ def _layer_tier_batch(
     mask_mode,
     skewed,
     raw,
+    t_refine=0,
     base_offset=(0.0, 0.0),
 ):
     """ONE LDI layer's pose-batched render through its routed tier — the
@@ -1470,7 +1472,7 @@ def _layer_tier_batch(
             lay["pose_sc"], lay["grids"], zero_bg,
             tplan, lay["xlo"], lay["ylo"], k_t,
             feathering=feathering, mask_mode=mask_mode, to_srgb=False,
-            raw=raw,
+            raw=raw, refine=t_refine,
         )
     if mode == "rotated":
         rplan, wi, hi, rk, skip, sk1_t, sk2_t = setup
@@ -1659,6 +1661,7 @@ def _fast_batch_core(
     rot_refine,
     batch,
     nums,  # per-layer static plane counts (march/sweep tiers)
+    t_refine=0,
     chunk,
     feathering,
     mask_mode,
@@ -1713,6 +1716,7 @@ def _fast_batch_core(
                 fixed_layers, x[0], x[1], x[2], f2, background,
                 plans=plans, modes=modes, static_setups=static_setups,
                 rotated=rotated, refine=refine, rot_refine=rot_refine,
+                t_refine=t_refine,
                 n_poses=pose_chunk, nums=nums, chunk=chunk,
                 feathering=feathering, mask_mode=mask_mode,
                 exact_color=exact_color, to_srgb=to_srgb, out_w=out_w,
@@ -1727,6 +1731,7 @@ def _fast_batch_core(
             fixed_layers, c1_b, rot_b, pp_layers, f2, background,
             plans=plans, modes=modes, static_setups=static_setups,
             rotated=rotated, refine=refine, rot_refine=rot_refine,
+            t_refine=t_refine,
             n_poses=batch, nums=nums, chunk=chunk, feathering=feathering,
             mask_mode=mask_mode, exact_color=exact_color, to_srgb=to_srgb,
             out_w=out_w, out_h=out_h, out_w_true=out_w_true, pad_dx=pad_dx,
@@ -1757,6 +1762,7 @@ def _fast_chunk_body(
     rot_refine,
     n_poses,
     nums,
+    t_refine=0,
     chunk,
     feathering,
     mask_mode,
@@ -1789,7 +1795,8 @@ def _fast_chunk_body(
             layer = _layer_tier_batch(
                 lay, m, setup, plan, k_l, crop_y, c1_b, rot_b, f2,
                 out_w_true, out_h, refine=refine, rot_refine=rot_refine,
-                feathering=feathering, mask_mode=mask_mode,
+                t_refine=t_refine, feathering=feathering,
+                mask_mode=mask_mode,
                 skewed=skewed, raw=False, base_offset=(pad_dx, 0.0),
             )  # (B, H, W, 4)
         else:
@@ -2027,6 +2034,7 @@ def render_stereo_fast_batch(
         static_r=tuple(s[0] if s else None for s in setups_r),
         refine=refine,
         rot_refine=cfg.rotated_refine,
+        t_refine=cfg.target_refine,
         feathering=float(feathering),
         mask_mode=mask_mode,
         to_srgb=to_srgb,
@@ -2098,6 +2106,7 @@ def _stereo_fast_core(
     static_r=None,
     refine=0,
     rot_refine=2,
+    t_refine=0,
     feathering=0.1,
     mask_mode="none",
     to_srgb=True,
@@ -2151,7 +2160,7 @@ def _stereo_fast_core(
         plans_l=plans_l, plans_r=plans_r, num_layers=num_layers,
         nums_l=nums_l, nums_r=nums_r, modes_l=modes_l, modes_r=modes_r,
         static_l=static_l, static_r=static_r, refine=refine,
-        rot_refine=rot_refine, feathering=feathering,
+        rot_refine=rot_refine, t_refine=t_refine, feathering=feathering,
         mask_mode=mask_mode, to_srgb=to_srgb, skewed=skewed,
         out_w=out_w, out_h=out_h, crops_l=crops_l, crops_r=crops_r,
     )
@@ -2206,6 +2215,7 @@ def _stereo_chunk_body(
     out_h,
     crops_l,
     crops_r,
+    t_refine=0,
 ):
     """One pose-chunk of _stereo_fast_core (the pre-chunking body)."""
     from ..core.transforms import inv3, mat_from_focal, mm, shader_rotation
@@ -2314,7 +2324,8 @@ def _stereo_chunk_body(
         return _layer_tier_batch(
             lay, mode, setup, plan, k_l, crop_y, c1_b, rot_b, f2,
             out_w, out_h, refine=refine, rot_refine=rot_refine,
-            feathering=feathering, mask_mode=mask_mode,
+            t_refine=t_refine, feathering=feathering,
+            mask_mode=mask_mode,
             skewed=skewed, raw=True,
         )
 
@@ -2664,6 +2675,7 @@ def render_fused_fast_batch(
         nums=tuple(all_nums),
         modes=tuple(all_modes),
         skews=tuple(all_skews),
+        refine=cfg.march_refine,
         feathering=float(feathering),
         to_srgb=to_srgb,
         fuse_tol=float(cfg.fuse_tol),
@@ -2695,6 +2707,7 @@ def _fused_fast_core(
     feathering,
     to_srgb,
     fuse_tol,
+    refine=0,
     pose_chunk=0,
     postprocess=None,
 ):
@@ -2746,6 +2759,7 @@ def _fused_fast_core(
             return _fused_fast_core(
                 args_c, c1s_c, background,
                 plans=plans, nums=nums, modes=modes, skews=skews,
+                refine=refine,
                 feathering=feathering, to_srgb=to_srgb,
                 fuse_tol=fuse_tol, pose_chunk=0,
             )
@@ -2767,7 +2781,7 @@ def _fused_fast_core(
         for lay, plan, k_l in zip(layers, plan_l, num_l):
             rgba, alpha, hit, izs = _layer_tier_batch(
                 lay, "march", None, plan, k_l, 0, c1, None, None,
-                None, None, refine=0, rot_refine=0,
+                None, None, refine=refine, rot_refine=0,
                 feathering=feathering, mask_mode=m_mode,
                 skewed=p_skewed, raw=True,
             )

@@ -461,7 +461,12 @@ def _kernel(
         # the fetch path: colors come from ONE exact bilinear gather at
         # the solved position outside the kernel (sweep_target.
         # render_target_fetch_batch) — skip the per-plane color warps
-        # entirely, but still write the secant-refined invz per pixel
+        # entirely, but still write the secant-refined invz per pixel.
+        # refine > 0 runs the in-bracket depth sub-sweep (sub-plane
+        # positions are exact lerps — positions affine in invz), paid
+        # only at flagged planes: it restores the dense ladder's depth
+        # accuracy under a widened step_px grid (the orbit tier's
+        # plane-count lever; matches render_target_xla's refine).
         def pass2d(k, _):
             @pl.when(crossflag[k] > 0.0)
             def _():
@@ -469,7 +474,41 @@ def _kernel(
                 km1 = jnp.maximum(k - 1, 0)
                 izk = _tab(0, k)
                 prev_iz = _tab(0, km1)
-                iz_c = prev_iz + t * (izk - prev_iz)
+                if refine == 0:
+                    s_star = t
+                else:
+                    step = 1.0 / (refine + 1)
+                    slo = jnp.zeros((lc, gwd), jnp.float32)
+                    pd2 = pdiffc[:]
+                    d2 = diffc[:]
+                    sfound = jnp.zeros((lc, gwd), bool)
+                    prev_g = pdiffc[:]
+                    prev_s = 0.0
+                    thk = _tab(1, k)
+                    thk1 = _tab(1, km1)
+                    for j in range(1, refine + 1):
+                        s = j * step
+                        vs = prev_iz + s * (izk - prev_iz)
+                        g_ = _warp((dch, dch + 1), vs, _bases(vs))[0] - (
+                            thk1 + s * (thk - thk1)
+                        )
+                        csub = jnp.logical_and(~sfound, g_ > 0.0)
+                        slo = jnp.where(csub, prev_s, slo)
+                        pd2 = jnp.where(csub, prev_g, pd2)
+                        d2 = jnp.where(csub, g_, d2)
+                        sfound = jnp.logical_or(sfound, csub)
+                        prev_g = g_
+                        prev_s = s
+                    slo = jnp.where(sfound, slo, prev_s)
+                    pd2 = jnp.where(sfound, pd2, prev_g)
+                    t2 = jnp.clip(
+                        pd2 / jnp.minimum(pd2 - d2, -1e-12), 0.0, 1.0
+                    )
+                    s_star = slo + step * t2
+                    s_star = jnp.where(
+                        kstar[:] == 0.0, jnp.ones_like(s_star), s_star
+                    )
+                iz_c = prev_iz + s_star * (izk - prev_iz)
                 izout[:] = jnp.where(sel, iz_c, izout[:])
 
             return 0
@@ -804,9 +843,10 @@ def render_target_batch_pallas(
     pose batch. Returns (B, out_h, out_w, 4) or raw tuples.
 
     depth_only=True skips the in-kernel color warps and returns
-    (found, invz_star) pre-finalize — the fetch path's input (refine is
-    then ignored; the fetch's exact bilinear color sample replaces the
-    bracket color lerp that refine would sharpen)."""
+    (found, invz_star) pre-finalize — the fetch path's input. refine
+    there runs the DEPTH-ONLY in-bracket sub-sweep (pass2d): paired
+    with a widened plane step it keeps the solved invz at dense-ladder
+    accuracy while pass 1's trip count drops by the step factor."""
     h, w = disp.shape
     izmin = jnp.asarray(invz_min, jnp.float32)
     izmax = jnp.asarray(invz_max, jnp.float32)

@@ -594,7 +594,7 @@ def render_target_batch(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "plan", "num_planes", "mask_mode", "to_srgb", "raw",
+        "plan", "num_planes", "mask_mode", "to_srgb", "raw", "refine",
     ),
 )
 def render_target_fetch_batch(
@@ -614,6 +614,7 @@ def render_target_fetch_batch(
     mask_mode: str = "none",
     to_srgb: bool = True,
     raw: bool = False,
+    refine: int = 0,
 ):
     """PRODUCTION target tier: depth-only target-ray march + ONE exact
     packed bilinear color gather at the secant-solved position.
@@ -637,6 +638,7 @@ def render_target_fetch_batch(
             lambda ps, pv: render_target_xla(
                 rgb, disp, mask, invz_min, invz_max, ps, pv, background,
                 num_planes, plan.out_w, plan.out_h, depth_only=True,
+                refine=refine,
             )
         )(pose_b, jnp.asarray(plane_invz, jnp.float32))
     else:
@@ -645,6 +647,7 @@ def render_target_fetch_batch(
         found_b, rstar_b = render_target_batch_pallas(
             rgb, disp, mask, invz_min, invz_max, pose_b, plane_invz,
             background, plan, xlo, ylo, num_planes, depth_only=True,
+            refine=refine,
         )
         vstar_b = jnp.where(found_b > 0.0, rstar_b, 0.0)
 
@@ -709,7 +712,7 @@ def _bil(img, px, py):
     jax.jit,
     static_argnames=(
         "num_planes", "out_w", "out_h", "mask_mode", "to_srgb", "raw",
-        "depth_only",
+        "depth_only", "refine",
     ),
 )
 def render_target_xla(
@@ -729,6 +732,7 @@ def render_target_xla(
     to_srgb: bool = True,
     raw: bool = False,
     depth_only: bool = False,
+    refine: int = 0,
 ):
     """Dense XLA twin of the target-ray march kernel (one pose). The
     golden oracle for kernel tests and the CPU-backend fallback at small
@@ -736,7 +740,14 @@ def render_target_xla(
     bracket color lerp with k* == 0 snapping to t = 1).
 
     depth_only=True returns (found (H,W) f32, invz_star (H,W)) with no
-    color pass and no finalize — the fetch path's input."""
+    color pass and no finalize — the fetch path's input.
+
+    refine: interior sub-plane evaluations inside the crossing bracket
+    (depth only — valid because positions are affine in invz, so
+    sub-plane sample positions are exact lerps). Restores the dense
+    ladder's depth accuracy when the plane grid is built with a widened
+    step_px: (refine + 1) x the effective density, paid only inside
+    brackets. Matches the Pallas kernel's pass2d sub-sweep exactly."""
     h, w = disp.shape
     izmin = jnp.asarray(invz_min, jnp.float32)
     izmax = jnp.asarray(invz_max, jnp.float32)
@@ -775,6 +786,39 @@ def render_target_xla(
     kc = jnp.maximum(kstar, 0)
     v0 = vg[km1]
     v1 = vg[kc]
+    if refine > 0:
+        # sub-bracket first-crossing search at exactly-lerped invz
+        # (positions affine in v => sub-plane warps are exact); the
+        # secant then runs in the 1/(refine+1) sub-bracket. k* == 0
+        # keeps its snap-to-plane rule (s_star = 1).
+        t0 = vg[km1]  # invz at bracket lo
+        th0 = tk[km1]
+        th1 = tk[kc]
+        step_s = 1.0 / (refine + 1)
+        slo = jnp.zeros((out_h, out_w), jnp.float32)
+        pd2 = pdiffc
+        d2 = diffc
+        sfound = jnp.zeros((out_h, out_w), bool)
+        prev_g = pdiffc
+        prev_s = 0.0
+        for j in range(1, refine + 1):
+            s = j * step_s
+            vs = t0 + s * (v1 - t0)
+            g_ = _bil(dd, ax + vs * dxf, ay + vs * dyf) - (
+                th0 + s * (th1 - th0)
+            )
+            csub = jnp.logical_and(~sfound, g_ > 0.0)
+            slo = jnp.where(csub, prev_s, slo)
+            pd2 = jnp.where(csub, prev_g, pd2)
+            d2 = jnp.where(csub, g_, d2)
+            sfound = jnp.logical_or(sfound, csub)
+            prev_g = g_
+            prev_s = s
+        slo = jnp.where(sfound, slo, prev_s)
+        pd2 = jnp.where(sfound, pd2, prev_g)
+        t2 = jnp.clip(pd2 / jnp.minimum(pd2 - d2, -1e-12), 0.0, 1.0)
+        t = slo + step_s * t2
+        t = jnp.where(kstar == 0, 1.0, t)
     vstar = v0 + t * (v1 - v0)
     if depth_only:
         return (

@@ -185,6 +185,79 @@ class TestPallasDepthOnly:
         assert np.median(err) < 1e-5
         assert (err > 1e-3).mean() < 1e-3
 
+    def test_depth_refine_matches_twin(self, rng):
+        """pass2d's in-bracket depth sub-sweep (refine > 0) must match
+        the XLA twin's refine exactly (both evaluate the same exact
+        sub-plane lerps)."""
+        from lif_tpu.ops.pallas import sweep_target as pt
+
+        rots = [_roty(10.0)]
+        cs = [np.array([0.18, 0.04, -0.02])]
+        rgb, disp, mask, f1, f2, plan, xlo, ylo, grids, k, poses = _setup(
+            rng, rots, cs, step_px=3.0
+        )
+        found, vstar = pt.render_target_batch_pallas(
+            rgb, disp, mask, IZMIN, IZMAX, jnp.asarray(poses),
+            jnp.asarray(grids), jnp.zeros(4), plan, xlo, ylo, k,
+            mask_mode="none", interpret=True, depth_only=True, refine=2,
+        )
+        f_ref, v_ref = st.render_target_xla(
+            rgb, disp, mask, IZMIN, IZMAX, jnp.asarray(poses[0]),
+            jnp.asarray(grids[0]), jnp.zeros(4), k, 128, 96,
+            depth_only=True, refine=2,
+        )
+        f_k = np.asarray(found[0])
+        v_k = np.where(f_k > 0.0, np.asarray(vstar[0]), 0.0)
+        assert (f_k != np.asarray(f_ref)).mean() < 1e-3
+        agree = f_k == np.asarray(f_ref)
+        err = np.abs(v_k - np.asarray(v_ref)) * agree
+        assert np.median(err) < 1e-5
+        assert (err > 1e-3).mean() < 1e-3
+
+    def test_widened_step_with_refine_tracks_dense_ladder(self, rng):
+        """The orbit throughput lever: a step_px=3 ladder with refine=2
+        must solve invz* close to the dense step_px=1 ladder (sub-plane
+        evaluations restore the skipped interior planes), where the
+        UNREFINED widened ladder visibly drifts."""
+        rots = [_roty(10.0)]
+        cs = [np.array([0.18, 0.04, -0.02])]
+        rgb, disp, mask, f1, f2, plan, xlo, ylo, g1, k1, poses = _setup(
+            rng, rots, cs, step_px=1.0
+        )
+        g3, k3 = st.target_plane_grids(
+            rots, cs, f1, f2, 128, 96, 128, 96, IZMIN, IZMAX,
+            step_px=3.0,
+        )
+        f_d, v_d = st.render_target_xla(
+            rgb, disp, mask, IZMIN, IZMAX, jnp.asarray(poses[0]),
+            jnp.asarray(g1[0]), jnp.zeros(4), k1, 128, 96,
+            depth_only=True,
+        )
+
+        def _err(refine):
+            f_w, v_w = st.render_target_xla(
+                rgb, disp, mask, IZMIN, IZMAX, jnp.asarray(poses[0]),
+                jnp.asarray(g3[0]), jnp.zeros(4), k3, 128, 96,
+                depth_only=True, refine=refine,
+            )
+            agree = np.asarray(f_w) == np.asarray(f_d)
+            return (
+                np.abs(np.asarray(v_w) - np.asarray(v_d)) * agree,
+                agree,
+            )
+
+        err_ref, agree = _err(2)
+        err_raw, _ = _err(0)
+        assert agree.mean() > 0.995
+        # refine recovers the TYPICAL pixel to dense-ladder accuracy
+        # (median ~9e-6 vs ~1.6e-4 unrefined on this scene); outlier
+        # pixels where the coarse pass1 misses a thin crossing entirely
+        # are not recoverable by in-bracket refinement, so the bound is
+        # on the median and the large-error fraction, not the mean.
+        assert np.median(err_ref) < 0.2 * max(np.median(err_raw), 1e-12)
+        assert np.median(err_ref) < 5e-5
+        assert (err_ref > 1e-3).mean() < 0.7 * (err_raw > 1e-3).mean()
+
 
 class TestRendererRouting:
     def test_fast_batch_routes_yaw_to_target(self, rng, monkeypatch):
