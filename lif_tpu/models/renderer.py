@@ -37,6 +37,7 @@ __all__ = [
     "render_depth_fast",
     "render_fused_fast",
     "render_fused_fast_batch",
+    "render_billboard_fast_batch",
     "render_mono_view",
     "render_stereo_fast",
     "render_stereo_fast_batch",
@@ -2878,3 +2879,101 @@ def render(
 
         return _splat.render_mesh_view(plist[0], camera, **kwargs)
     raise ValueError(f"unknown render mode: {mode}")
+
+
+def render_billboard_fast_batch(
+    projector: Projector,
+    cameras: Sequence[Camera],
+    background=(0.0, 0.0, 0.0, 0.0),
+    point_size: float = 1.0,
+    to_srgb: bool = True,
+    show_depth: bool = False,
+    postprocess=None,
+):
+    """Billboard (splat) mode at production speed: the Pallas
+    depth-tested scatter (ops/pallas/splat_march — the plane-binned
+    gather dual of ops/splat.forward_splat) over a whole lateral pose
+    batch in ONE device dispatch, sharing one resident source read per
+    tile like the march tiers. Returns (B, H, W, 4).
+
+    Eligibility (the exactness conditions of the dual): lateral poses
+    (no relative rotation, translation along x only), matched focal,
+    centered principal points, layer 0 dims == camera dims. Other poses
+    render through the XLA scatter one frame at a time
+    (render(..., mode='billboard')). reference: holoVertex.glsl:130-149,
+    243-273 (billboard quads + z-buffer)."""
+    import jax as _jax
+
+    cam0 = cameras[0]
+    prep = _prepared_textures(projector)
+    lay = prep["layers"][0]
+    intr = projector.intrinsics
+    cy_gl = projector.height - float(intr["cy"])
+    if (
+        lay["w"] != cam0.width or lay["h"] != cam0.height
+        or abs(lay["focal_host"] - float(cam0.focal_px)) > 1e-6
+        or abs(float(intr["cx"]) - lay["w"] / 2.0) > 1e-6
+        or abs(cy_gl - lay["h"] / 2.0) > 1e-6
+        or lay["w"] % 8 != 0
+    ):
+        raise ValueError(
+            "render_billboard_fast_batch needs matched focal/dims, "
+            "centered principal point, and an 8-divisible width; use "
+            "render(mode='billboard') per frame otherwise"
+        )
+    pos_list = []
+    for cam in cameras:
+        pos_np, rot_np = relative_view_pose(
+            np.asarray(projector.position, np.float64),
+            np.asarray(projector.rotation, np.float64),
+            np.asarray(cam.position, np.float64),
+            np.asarray(cam.rotation, np.float64),
+        )
+        if not np.allclose(rot_np, np.eye(3), atol=1e-5) or (
+            abs(pos_np[1]) > 1e-9 or abs(pos_np[2]) > 1e-9
+        ):
+            raise ValueError(
+                "render_billboard_fast_batch needs lateral poses; use "
+                "render(mode='billboard') per frame otherwise"
+            )
+        pos_list.append(pos_np)
+    pos_b = np.stack(pos_list)
+
+    if _jax.default_backend() == "cpu":
+        # XLA scatter per pose (the general-backend fallback; the Pallas
+        # kernel is parity-tested against it in interpret mode)
+        from ..ops import splat as _splat
+
+        imgs = [
+            _splat.render_mesh_view(
+                projector, cam, background=background,
+                point_size=point_size, to_srgb=to_srgb,
+                show_depth=show_depth,
+            )
+            for cam in cameras
+        ]
+        out = jnp.stack(imgs)
+        return postprocess(out) if postprocess is not None else out
+
+    from ..ops.pallas import splat_march as _splat_march
+
+    f1 = lay["focal_host"]
+    max_shift = abs(f1) * float(np.abs(pos_b[:, 0]).max()) * max(
+        abs(lay["izmin_host"]), abs(lay["izmax_host"])
+    ) + 4.0
+    plan = _sweep_march.translation_plan(
+        lay["w"], lay["h"], lay["w"], lay["h"], max_shift, 0.0
+    )
+    ixs, mms, k = _splat_march.billboard_shift_tables(
+        f1, pos_b[:, 0].tolist(), lay["izmin_host"], lay["izmax_host"],
+        plan,
+    )
+    out = _splat_march.render_billboard_batch_pallas(
+        lay["rgb"], lay["disp"], lay["mask"],
+        lay["izmin"], lay["izmax"],
+        jnp.asarray(pos_b, jnp.float32), lay["focal_host"],
+        ixs, mms, jnp.asarray(background, jnp.float32),
+        plan, k, cx0=float(intr["cx"]), cy0=cy_gl,
+        point_size=point_size, to_srgb=to_srgb, show_depth=show_depth,
+    )
+    return postprocess(out) if postprocess is not None else out
