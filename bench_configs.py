@@ -234,6 +234,54 @@ def main():
         print(f"config0b_{mode}:", results[f"config0b_{mode}_mode"],
               flush=True)
 
+    # ---- config 0b+: the Pallas depth-tested billboard scatter
+    # (ops/pallas/splat_march — plane-binned gather dual, bit-exact vs
+    # the eager XLA scatter) through its batched production entry ----
+    try:
+        from lif_tpu.models.renderer import render_billboard_fast_batch
+
+        bb_batch, bb_small = (8, 4) if SMOKE else (96, 48)
+
+        def bb_cams(n):
+            return [
+                cam_at([0.135 + 0.02 * i / n, 0.0, 0.0])
+                for i in range(n)
+            ]
+
+        def bb_pass(n):
+            return float(_sync(render_billboard_fast_batch(
+                proj, bb_cams(n), postprocess=_rpp,
+            )))
+
+        _ = bb_pass(bb_small)
+        _ = bb_pass(bb_batch)
+        tb = _median_seconds(lambda: bb_pass(bb_batch))
+        tsm = _median_seconds(lambda: bb_pass(bb_small))
+        img_bb = np.asarray(render_billboard_fast_batch(
+            proj, [cam_at(fixed_pos)], to_srgb=True,
+        ))[0]
+        ref_bb = np.asarray(render(proj, cam_at(fixed_pos),
+                                   mode="billboard"))
+        results["config0b_billboard_pallas"] = {
+            "fps_batch_one_dispatch": round(bb_batch / tb, 1),
+            "device_time_fps_marginal": round(
+                _marginal_fps(tb, bb_batch, tsm, bb_small), 1),
+            "psnr_vs_xla_scatter_dB": round(float(_psnr(img_bb, ref_bb)),
+                                            2),
+            "psnr_vs_converged_dB": round(float(_psnr(img_bb, conv)), 2),
+            "statistic": (
+                f"median of {REPS} passes, batch={bb_batch} single "
+                "dispatch (Pallas plane-binned scatter dual; "
+                "psnr_vs_xla_scatter compares the same mode's two "
+                "implementations at the bench pose)"
+            ),
+        }
+        print("config0b_billboard_pallas:",
+              results["config0b_billboard_pallas"], flush=True)
+    except Exception as e:  # noqa: BLE001
+        results["config0b_billboard_pallas"] = {"error": repr(e)}
+        print("config0b_billboard_pallas failed:", repr(e), flush=True)
+
     # ---- config 1: 120-frame orbit, ONE pose-chunked dispatch ----
     orbit_poses = [
         orbit_pose(result.orbit_center, 1.0, theta=np.deg2rad(t))
