@@ -153,12 +153,15 @@ def _kernel(
     A = abp[p * 3]
     Bc = abp[p * 3 + 1]
     su_half_max = abp[p * 3 + 2]
-    # y footprint term of su, per lane (output rows = source rows):
+    # y footprint term of su, per lane (output rows = source rows).
+    # iota in i32 then cast: Mosaic rejects a float-typed tpu.iota on
+    # real hardware (verified interpret-only otherwise)
     yq = (c * lc).astype(jnp.float32) + jax.lax.broadcasted_iota(
-        jnp.float32, (tw, lc), 1
-    )
+        jnp.int32, (tw, lc), 1
+    ).astype(jnp.float32)
     yterm = ((yq + 0.5 - cy0) * inv_f) ** 2
-    jx = jax.lax.broadcasted_iota(jnp.float32, (tw, lc), 0)
+    jx = jax.lax.broadcasted_iota(jnp.int32, (tw, lc), 0).astype(
+        jnp.float32)
 
     def _bits_below(n):
         return jnp.where(
