@@ -93,6 +93,29 @@ def _marginal_fps(t_big, n_big, t_small, n_small):
     return float((n_big - n_small) / max(t_big - t_small, 1e-9))
 
 
+def _flush(results):
+    """Write the record incrementally after every config: the relay can
+    go dark mid-run (docs/TPU_NOTES.md tunnel outages), and a killed run
+    must leave the sections it DID measure on the record rather than
+    nothing. The final write replaces the partial marker."""
+    import subprocess
+
+    out = dict(results)
+    out["_provenance"] = {
+        "generated_at_commit": subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True).stdout.strip() or "unknown",
+        "generated_by": "bench_configs.py (on-chip) + bench_scaling.py "
+                        "(virtual CPU mesh subprocess)",
+        "partial": "run still in progress or aborted mid-run (sections "
+                   "below are complete measurements)",
+    }
+    out_path = ("BENCH_DETAILS_SMOKE.json" if SMOKE
+                else "BENCH_DETAILS.json")
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -205,6 +228,7 @@ def main():
         ),
     }
     print("config0:", results["config0_fixed_novel_view"], flush=True)
+    _flush(results)
 
     # ---- config 0b: mesh + billboard modes (the reference's DEFAULT
     # mode is mesh; round-3 VERDICT item 7 wants their numbers on the
@@ -233,6 +257,7 @@ def main():
         }
         print(f"config0b_{mode}:", results[f"config0b_{mode}_mode"],
               flush=True)
+        _flush(results)
 
     # ---- config 0b+: the Pallas depth-tested billboard scatter
     # (ops/pallas/splat_march — plane-binned gather dual, bit-exact vs
@@ -278,6 +303,7 @@ def main():
         }
         print("config0b_billboard_pallas:",
               results["config0b_billboard_pallas"], flush=True)
+        _flush(results)
     except Exception as e:  # noqa: BLE001
         results["config0b_billboard_pallas"] = {"error": repr(e)}
         print("config0b_billboard_pallas failed:", repr(e), flush=True)
@@ -330,6 +356,7 @@ def main():
         "statistic": "median of 3 passes",
     }
     print("config1:", results["config1_orbit_120"], flush=True)
+    _flush(results)
 
     # ---- config 1b: the orbit's performance knob on the record —
     # target_step_px=2 + target_refine=1 (widened ladder, in-bracket
@@ -372,6 +399,7 @@ def main():
         }
         print("config1b:", results["config1b_orbit_step2_refine1"],
               flush=True)
+        _flush(results)
     except Exception as e:  # noqa: BLE001
         results["config1b_orbit_step2_refine1"] = {"error": repr(e)}
         print("config1b failed:", repr(e), flush=True)
@@ -455,6 +483,7 @@ def main():
         "statistic": "median of 5 passes",
     }
     print("config2:", results["config2_stereo_pair"], flush=True)
+    _flush(results)
 
     # ---- config 3: 3-layer LDI compositing ----
     from lif_tpu import projector_from_arrays
@@ -507,6 +536,7 @@ def main():
         "statistic": "median of 5 passes",
     }
     print("config3:", results["config3_ldi_3layer"], flush=True)
+    _flush(results)
 
     # ---- config 4: 4-projector fused compositing at 3840x2160 ----
     # COHERENT multi-view content: each projector's rgb/depth is
@@ -588,6 +618,7 @@ def main():
         "statistic": "median of 3 passes",
     }
     print("config4:", results["config4_multi_projector_4k"], flush=True)
+    _flush(results)
 
     # ---- 4K sharded-fusion scaling sweep on the virtual CPU mesh ----
     import os
